@@ -1,0 +1,164 @@
+"""Hash-sketch kernels: MinHash, LSH band keys, SimHash.
+
+These replace the reference's embedding-based approximate nearest-neighbour
+candidate generation (SentenceTransformer encode + np.dot top-k —
+/root/reference/Sparkle/database.py:150-183) with deterministic,
+model-free sketches that serve the same role: cheap candidate generation
+over a huge corpus (SURVEY.md §1.3).
+
+Implementation notes (scale):
+  * The signature UDF is an Arrow-batched pandas UDF. Per batch, all
+    shingles of all rows are flattened into ONE object ndarray and hashed
+    with pandas' vectorized 64-bit siphash (`pd.util.hash_array`, fixed
+    key => deterministic across processes/executors). Per-permutation
+    minima are then `np.minimum.reduceat` over row offsets — no Python
+    work proportional to shingle count.
+  * Permutations are h_i(x) = a_i*x + b_i on uint64 (wrapping multiply;
+    the standard cheap family). Seeds are fixed constants => the same
+    signature on every executor, every run.
+  * Band keys are computed JVM-side (xxhash64 over signature slices), so
+    the blocking join key never leaves Tungsten.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Fixed permutation parameters (seeded, module-level so executors rebuild
+# them identically from the pickled closure without shipping arrays).
+_MAX_PERMS = 256
+_rng = np.random.RandomState(42)
+_PERM_A = (_rng.randint(1, 2**62, size=_MAX_PERMS).astype(np.uint64) | np.uint64(1))
+_PERM_B = _rng.randint(0, 2**62, size=_MAX_PERMS).astype(np.uint64)
+
+_TOKEN_RE = r"[A-Za-z0-9_]+"
+
+
+def _shingle_offsets(token_lists: list[list[str]], k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten k-gram shingles of every row into one object array.
+
+    Returns (flat_shingles, row_offsets) where row_offsets[i] is the start
+    of row i's shingles in flat_shingles. Rows with fewer than k tokens
+    fall back to 1-gram shingles; empty rows contribute one sentinel
+    shingle derived from the row index (so they never collide).
+    """
+    flat: list[str] = []
+    offsets = np.empty(len(token_lists), dtype=np.int64)
+    for i, toks in enumerate(token_lists):
+        offsets[i] = len(flat)
+        n = len(toks)
+        if n >= k:
+            flat.extend(" ".join(toks[j : j + k]) for j in range(n - k + 1))
+        elif n > 0:
+            flat.extend(toks)
+        else:
+            flat.append(f"\x00empty:{i}")
+    return np.array(flat, dtype=object), offsets
+
+
+def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3):
+    """Build a pandas UDF: content string -> array<long> MinHash signature."""
+    if num_perm > _MAX_PERMS:
+        raise ValueError(f"num_perm must be <= {_MAX_PERMS}")
+    a = _PERM_A[:num_perm]
+    b = _PERM_B[:num_perm]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(content: pd.Series) -> pd.Series:
+        toks = content.fillna("").str.lower().str.findall(_TOKEN_RE)
+        flat, offsets = _shingle_offsets(toks.tolist(), shingle_k)
+        base = pd.util.hash_array(flat)  # vectorized siphash, fixed key
+        n_rows = len(offsets)
+        sig = np.empty((n_rows, num_perm), dtype=np.uint64)
+        for p in range(num_perm):
+            hashed = base * a[p] + b[p]  # wrapping uint64
+            sig[:, p] = np.minimum.reduceat(hashed, offsets)
+        # store as int64 (same bits) for Spark LongType
+        out = sig.view(np.int64)
+        return pd.Series(list(out))
+
+    return minhash
+
+
+# Default instance used by the pipeline.
+minhash_udf = make_minhash_udf()
+
+
+def band_keys(sig_col: str | Column, num_bands: int, rows_per_band: int) -> Column:
+    """JVM-side LSH band keys from a MinHash signature column.
+
+    Returns array<struct<band:int, key:long>>: one entry per band; `key` is
+    xxhash64 over that band's signature slice (salted by band index so the
+    same values in different bands never collide into one block).
+    """
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    entries = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.slice(sig, i * rows_per_band + 1, rows_per_band), F.lit(i)).alias("key"),
+        )
+        for i in range(num_bands)
+    ]
+    return F.array(*entries)
+
+
+def minhash_similarity(sig_l: str | Column, sig_r: str | Column) -> Column:
+    """Estimated Jaccard = fraction of equal signature positions (JVM-side).
+
+    Plays the role of the reference's dot-product similarity
+    (/root/reference/Sparkle/database.py:170-171) on sketch space.
+    """
+    l = F.col(sig_l) if isinstance(sig_l, str) else sig_l
+    r = F.col(sig_r) if isinstance(sig_r, str) else sig_r
+    matches = F.aggregate(
+        F.zip_with(l, r, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return matches.cast("double") / F.size(l).cast("double")
+
+
+def make_simhash_udf(bits: int = 64):
+    """Build a pandas UDF: content string -> long SimHash fingerprint.
+
+    Vectorized: token hashes for the whole batch are computed in one
+    hash_array call; per-row bit-vote sums use np.add.reduceat.
+    """
+    if bits != 64:
+        raise ValueError("only 64-bit simhash supported")
+
+    @F.pandas_udf(T.LongType())
+    def simhash(content: pd.Series) -> pd.Series:
+        toks = content.fillna("").str.lower().str.findall(_TOKEN_RE)
+        tok_lists = toks.tolist()
+        flat: list[str] = []
+        offsets = np.empty(len(tok_lists), dtype=np.int64)
+        for i, tl in enumerate(tok_lists):
+            offsets[i] = len(flat)
+            flat.extend(tl if tl else [f"\x00empty:{i}"])
+        base = pd.util.hash_array(np.array(flat, dtype=object))
+        # (n_tokens, 64) sign matrix -> reduceat row sums -> sign -> bits
+        bits_mat = ((base[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = bits_mat * 2 - 1
+        row_votes = np.add.reduceat(votes, offsets, axis=0)
+        out_bits = (row_votes > 0).astype(np.uint64)
+        fp = np.zeros(len(offsets), dtype=np.uint64)
+        for j in range(64):
+            fp |= out_bits[:, j] << np.uint64(j)
+        return pd.Series(fp.view(np.int64))
+
+    return simhash
+
+
+simhash_udf = make_simhash_udf()
+
+
+def hamming_distance64(a: str | Column, b: str | Column) -> Column:
+    """JVM-side Hamming distance between two 64-bit fingerprints."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))

@@ -1,0 +1,109 @@
+"""Iterative connected components: alternating large-star / small-star.
+
+Generalizes the reference's graph propagation — confident nodes pulling
+their pending neighbors to a shared identity
+(/root/reference/e2e/systems/graph_system.py:46-79,953-1006) — into full
+transitive closure over the matched-pair graph.
+
+Algorithm: the alternating large-star/small-star method (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — O(log^2 n)
+rounds, every round a pair of shuffles, safe at 10^12 nodes:
+
+  large-star(E): for each node u, m = min(N(u) ∪ {u});
+                 emit (v, m) for every neighbor v > u.
+  small-star(E): orient edges high->low; for each node u,
+                 m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u) ∪ {u}.
+
+Each iteration is localCheckpoint()ed (lineage would otherwise grow
+exponentially — SURVEY.md §4). Convergence = stable edge-set signature
+(count + sum of bounded hashes); the final edges form stars whose centers
+are component minima, matching the FIXTURES.md cluster_id convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(2**31))), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(F.min("dst").alias("min_nbr"))
+    mins = mins.withColumn("m", F.least(F.col("min_nbr"), F.col("src"))).select("src", "m")
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))  # all dst < src here
+    nbrs = (
+        e.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    centers = mins.select(F.col("src"), F.col("m").alias("dst"))
+    return (
+        nbrs.unionByName(centers)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    all_ids: DataFrame | None = None,
+    max_iter: int = 50,
+    on_iteration=None,
+) -> DataFrame:
+    """edges(src,dst) -> assignments(row_id, cluster_id = component min).
+
+    all_ids: optional DataFrame with a `row_id` column; nodes absent from
+    `edges` come back as singleton clusters (cluster_id = row_id).
+    on_iteration: optional callback(iteration:int, edge_count:int) — used by
+    the pipeline to checkpoint the frontier (resume support).
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    sig = _signature(e)
+    for it in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_sig = _signature(e2)
+        if on_iteration is not None:
+            on_iteration(it, new_sig[0])
+        e.unpersist()
+        e = e2
+        if new_sig == sig:
+            break
+        sig = new_sig
+
+    # final edges: (node -> component min) stars; label every endpoint
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("min_nbr"))
+        .select(
+            F.col("src").alias("row_id"),
+            F.least(F.col("min_nbr"), F.col("src")).alias("cluster_id"),
+        )
+    )
+    if all_ids is not None:
+        labels = (
+            all_ids.select("row_id")
+            .join(labels, "row_id", "left")
+            .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("row_id")))
+        )
+    return labels

@@ -1,0 +1,107 @@
+"""End-to-end entity-resolution pipeline.
+
+repo_files -> keys -> blocks -> salted pair join -> Arrow scoring ->
+threshold edges -> large-star/small-star CC -> clusters, with an
+exact-duplicate fast path (group by content_sha) so near-dup machinery only
+ever sees one representative per distinct content.
+
+This is the Spark-first re-expression of the reference's linking flow
+(/root/reference/Sparkle/linking.py:85-97 -> core.py:30-166): candidate
+generation (core.py:100-120) becomes the block join, pairwise judgment
+(algorithms.py:268-355) becomes the scorer, and graph propagation
+(e2e/systems/graph_system.py:953-1006) becomes connected components.
+
+Every stage optionally checkpoints (CheckpointStore); a re-run with the
+same checkpoint dir resumes after the last complete stage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from entitylinking_spark.checkpoint import CheckpointStore
+from entitylinking_spark.metrics import MetricsCollector
+from entitylinking_spark.operators.blocking import (
+    ERConfig,
+    block_candidates,
+    block_census,
+    with_keys,
+)
+from entitylinking_spark.operators.cc import connected_components
+from entitylinking_spark.operators.pairs import candidate_pairs
+from entitylinking_spark.operators.scoring import matched_edges, score_pairs
+
+
+@dataclass
+class ERResult:
+    clusters: DataFrame           # row_id, cluster_id
+    scored_pairs: DataFrame       # SCORED_PAIRS schema
+    keyed: DataFrame
+    metrics: MetricsCollector = field(default_factory=MetricsCollector)
+
+
+def resolve(
+    repo_files: DataFrame,
+    cfg: ERConfig = ERConfig(),
+    id_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    spark: SparkSession | None = None,
+    collect_metrics: bool = True,
+) -> ERResult:
+    """Run the full ER pipeline; returns lazy DataFrames + metrics."""
+    spark = spark or repo_files.sparkSession
+    store = CheckpointStore(checkpoint_dir, spark)
+    m = MetricsCollector()
+
+    keyed = store.get_or_compute("keyed", lambda: with_keys(repo_files, cfg, id_col=id_col))
+    if not store.enabled:
+        keyed = keyed.persist()
+
+    # ---- exact-duplicate fast path (sha grouping; no pairs generated) ----
+    # rep = min row_id per content_sha; edge (row -> rep) for non-reps.
+    reps = keyed.groupBy("content_sha").agg(F.min("row_id").alias("rep_id"))
+    exact_edges = (
+        keyed.select("row_id", "content_sha")
+        .join(reps, "content_sha")
+        .filter(F.col("row_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("src"), F.col("row_id").alias("dst"))
+    )
+    rep_rows = keyed.join(
+        reps.select(F.col("rep_id").alias("row_id")), "row_id", "left_semi"
+    )
+
+    # ---- blocking + census + salted pair join over representatives ------
+    blocks = store.get_or_compute("blocks", lambda: block_candidates(rep_rows, cfg))
+    census = block_census(blocks)
+    if collect_metrics:
+        m.record("blocks", **m.block_stats(census, cfg.block_cap, cfg.skip_block_threshold))
+
+    pairs = candidate_pairs(blocks, cfg, census=census)
+    scored = store.get_or_compute("pairs_scored", lambda: score_pairs(pairs, rep_rows, cfg))
+    if not store.enabled:
+        scored = scored.persist()
+    if collect_metrics:
+        m.record("pairs_scored", n_pairs=scored.count(), **m.partition_sizes(scored))
+
+    # ---- edges + connected components -----------------------------------
+    near_edges = matched_edges(scored, cfg)
+    edges = store.get_or_compute(
+        "edges", lambda: near_edges.unionByName(exact_edges).distinct()
+    )
+
+    def compute_clusters() -> DataFrame:
+        def on_iter(it: int, n_edges: int):
+            if collect_metrics:
+                m.record(f"cc_iter_{it}", n_edges=n_edges)
+        return connected_components(
+            edges, all_ids=keyed.select("row_id"), on_iteration=on_iter
+        )
+
+    clusters = store.get_or_compute("clusters", compute_clusters)
+    if collect_metrics:
+        m.record("clusters", n_rows=clusters.count(),
+                 n_clusters=clusters.select("cluster_id").distinct().count())
+
+    return ERResult(clusters=clusters, scored_pairs=scored, keyed=keyed, metrics=m)

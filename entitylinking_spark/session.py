@@ -1,0 +1,57 @@
+"""SparkSession factory with the configuration this engine assumes.
+
+Local mode stands in for a multi-executor cluster; the same settings
+(AQE, Arrow, sensible shuffle partitioning) are what we would pass to
+spark-submit on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "entitylinking-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    cores: parallelism for local mode (default: $SPARK_GRAFT_CPUS or '*').
+    shuffle_partitions: default = max(cores, 8); on a real cluster this
+    would be ~2-3x total executor cores (AQE coalesces the excess).
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n_cores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n_cores = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(n_cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(n_cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # big `content` strings: keep Arrow batches bounded so a batch of
+        # 4 KB documents stays ~40 MB, not unbounded (SURVEY.md §7 pitfalls)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
