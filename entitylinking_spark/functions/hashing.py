@@ -38,13 +38,17 @@ _PERM_B = _rng.randint(0, 2**62, size=_MAX_PERMS).astype(np.uint64)
 _TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
-def _shingle_offsets(token_lists: list[list[str]], k: int) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_offsets(
+    token_lists: list[list[str]], raw: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
     """Flatten k-gram shingles of every row into one object array.
 
     Returns (flat_shingles, row_offsets) where row_offsets[i] is the start
     of row i's shingles in flat_shingles. Rows with fewer than k tokens
-    fall back to 1-gram shingles; empty rows contribute one sentinel
-    shingle derived from the row index (so they never collide).
+    fall back to 1-gram shingles; rows with NO tokens contribute a sentinel
+    derived from the raw string — identical contents must produce identical
+    signatures regardless of batch position or partitioning (determinism /
+    resume), while different token-less contents stay distinct.
     """
     flat: list[str] = []
     offsets = np.empty(len(token_lists), dtype=np.int64)
@@ -56,7 +60,7 @@ def _shingle_offsets(token_lists: list[list[str]], k: int) -> tuple[np.ndarray, 
         elif n > 0:
             flat.extend(toks)
         else:
-            flat.append(f"\x00empty:{i}")
+            flat.append(f"\x00raw:{raw[i]}")
     return np.array(flat, dtype=object), offsets
 
 
@@ -69,8 +73,9 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(content: pd.Series) -> pd.Series:
-        toks = content.fillna("").str.lower().str.findall(_TOKEN_RE)
-        flat, offsets = _shingle_offsets(toks.tolist(), shingle_k)
+        filled = content.fillna("")
+        toks = filled.str.lower().str.findall(_TOKEN_RE)
+        flat, offsets = _shingle_offsets(toks.tolist(), filled.tolist(), shingle_k)
         base = pd.util.hash_array(flat)  # vectorized siphash, fixed key
         n_rows = len(offsets)
         sig = np.empty((n_rows, num_perm), dtype=np.uint64)
@@ -133,13 +138,15 @@ def make_simhash_udf(bits: int = 64):
 
     @F.pandas_udf(T.LongType())
     def simhash(content: pd.Series) -> pd.Series:
-        toks = content.fillna("").str.lower().str.findall(_TOKEN_RE)
+        filled = content.fillna("")
+        toks = filled.str.lower().str.findall(_TOKEN_RE)
         tok_lists = toks.tolist()
+        raw = filled.tolist()
         flat: list[str] = []
         offsets = np.empty(len(tok_lists), dtype=np.int64)
         for i, tl in enumerate(tok_lists):
             offsets[i] = len(flat)
-            flat.extend(tl if tl else [f"\x00empty:{i}"])
+            flat.extend(tl if tl else [f"\x00raw:{raw[i]}"])
         base = pd.util.hash_array(np.array(flat, dtype=object))
         # (n_tokens, 64) sign matrix -> reduceat row sums -> sign -> bits
         bits_mat = ((base[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
