@@ -1,0 +1,132 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-native column expressions (whole-stage codegen) except the rolling
+fingerprint, which is one vectorized Arrow pass. Reference analogues: the
+tokenize/score cascade (X6 /root/reference/e2e/entity_database.py:262,
+X8 term frequency :338-346) and dataset statistics
+(/root/reference/OneNet/data_process.py:486-509).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from entitylinking_spark.functions.strings import tokenize
+
+# Tiny built-in English stopword list: enough for a ratio heuristic,
+# deliberately not a model/download.
+EN_STOPWORDS = (
+    "the of and to in a is that it for on as with was be by are this have "
+    "from or an at not but had his they you which one all were her she there"
+).split()
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace-ish token count (the cheap length signal)."""
+    return F.size(tokenize(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-flavoured proxy: words + digits + punctuation marks counted
+    separately (closer to LLM token counts than whitespace splitting)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.filter(F.split(c, r"[^A-Za-z]+"), lambda t: t != ""))
+    digits = F.size(F.filter(F.split(c, r"[^0-9]+"), lambda t: t != ""))
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return words + digits + punct
+
+
+def stopword_ratio(col: str | Column, stopwords: list[str] = EN_STOPWORDS) -> Column:
+    toks = tokenize(col)
+    hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in stopwords])))
+    n_distinct = F.size(F.array_distinct(toks))
+    return F.when(n_distinct == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / n_distinct.cast("double")
+    )
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n.cast("double"))
+
+
+def detect_language(col: str | Column, threshold: float = 0.08) -> Column:
+    """n-gram-free language ID heuristic: English stopword ratio over
+    distinct tokens; >= threshold -> 'en', else 'other'. A deliberate
+    deterministic stand-in for a real langid model."""
+    return F.when(stopword_ratio(col) >= threshold, F.lit("en")).otherwise(F.lit("other"))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Blended document-quality heuristic in [0,1]:
+    0.4*length_score + 0.3*stopword_score + 0.3*(1 - punct_excess).
+    length_score saturates at 200 tokens; punct_excess is punctuation
+    beyond a 15% budget, scaled."""
+    ntok = token_count(col).cast("double")
+    length_score = F.least(ntok / F.lit(200.0), F.lit(1.0))
+    sw = stopword_ratio(col)
+    sw_score = F.least(sw / F.lit(0.3), F.lit(1.0))
+    pr = punct_ratio(col)
+    punct_excess = F.greatest(pr - F.lit(0.15), F.lit(0.0)) / F.lit(0.85)
+    return (
+        F.lit(0.4) * length_score + F.lit(0.3) * sw_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_excess)
+    )
+
+
+def corpus_stats(docs: DataFrame, text_col: str = "text",
+                 group_col: str | None = "lang") -> DataFrame:
+    """Per-group corpus statistics (A5: mean tokens/chars, doc counts)."""
+    d = docs.withColumn("_ntok", token_count(text_col)).withColumn(
+        "_nchar", F.length(F.col(text_col))
+    )
+    keys = [group_col] if group_col else []
+    return d.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("_ntok").alias("avg_tokens"),
+        F.avg("_nchar").alias("avg_chars"),
+        F.min("_nchar").alias("min_chars"),
+        F.max("_nchar").alias("max_chars"),
+    )
+
+
+def make_fingerprint_udf(window: int = 8):
+    """Rolling-hash document fingerprint (winnowing-style).
+
+    Per document: 64-bit token hashes -> min hash per sliding window ->
+    distinct retained mins, sorted -> xxhash-style combined fingerprint.
+    One Arrow pass, NumPy sliding windows (no per-token Python).
+    """
+
+    @F.pandas_udf(T.LongType())
+    def fingerprint(text: pd.Series) -> pd.Series:
+        out = np.zeros(len(text), dtype=np.uint64)
+        filled = text.fillna("")
+        toks = filled.str.lower().str.findall(r"[a-z0-9_]+")
+        for i, tl in enumerate(toks.tolist()):
+            if not tl:
+                h = pd.util.hash_array(np.array([f"\x00raw:{filled.iloc[i]}"], dtype=object))
+                out[i] = h[0]
+                continue
+            hashes = pd.util.hash_array(np.array(tl, dtype=object))
+            if len(hashes) >= window:
+                mins = np.unique(
+                    np.min(np.lib.stride_tricks.sliding_window_view(hashes, window), axis=1)
+                )
+            else:
+                mins = np.array([hashes.min()], dtype=np.uint64)
+            acc = np.uint64(1469598103934665603)
+            for m in np.sort(mins):
+                acc = (acc ^ m) * np.uint64(1099511628211)
+            out[i] = acc
+        return pd.Series(out.view(np.int64))
+
+    return fingerprint
+
+
+fingerprint_udf = make_fingerprint_udf()

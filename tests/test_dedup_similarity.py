@@ -1,0 +1,102 @@
+"""Dedup strategies + similarity search on small deterministic corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitylinking_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    embedding_near_dup_pairs,
+    ngram_jaccard_pairs,
+)
+from entitylinking_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+def _corpus(spark):
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(98)) + " other words"
+    far = " ".join(f"zzz{i}" for i in range(100))
+    rows = [
+        (1, base), (2, base),      # exact dup pair
+        (3, near),                 # near dup of 1/2
+        (4, far), (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(spark):
+    out = {r["doc_id"]: (r["rep_id"], r["is_duplicate"])
+           for r in dedup_exact(_corpus(spark)).collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)
+    assert out[3][1] is False
+
+
+def test_dedup_minhash_lsh_transitive(spark):
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_minhash_lsh(_corpus(spark), threshold=0.6).collect()}
+    assert out["1"] == out["2"] == out["3"]   # exact + near in one cluster
+    assert out["4"] != out["1"] and out["5"] != out["1"]
+
+
+def test_dedup_simhash(spark):
+    # simhash radius 3 targets *tiny* perturbations: 1 token of 100 changed
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = " ".join(f"tok{i}" for i in range(99)) + " changed"
+    far = " ".join(f"zzz{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_simhash(df, radius=6).collect()}
+    assert out["1"] == out["2"] == out["3"]
+    assert out["4"] != out["1"]
+
+
+def test_ngram_jaccard_pairs(spark):
+    got = {(r["id_l"], r["id_r"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()}
+    assert got[("1", "2")] == pytest.approx(1.0)
+    assert ("1", "3") in got and got[("1", "3")] > 0.8
+    assert all(not (a == "4" or b == "4") for a, b in got)
+
+
+def _embeddings(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.99, 0.01, 0.0]),   # near dups
+        (3, [0.0, 1.0, 0.0]), (4, [0.0, 0.0, 1.0]),
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_near_dup(spark):
+    got = {(r["id_l"], r["id_r"]) for r in
+           embedding_near_dup_pairs(_embeddings(spark), threshold=0.95).collect()}
+    assert got == {("1", "2")}
+
+
+def test_brute_force_topk_exact(spark):
+    emb = _embeddings(spark)
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["query_id", "embedding"])
+    out = brute_force_topk(emb, q, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == [1, 2, 3]  # cos: 1.0, ~0.9999, 0.0 (ties by id)
+    assert out[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_finds_close_neighbor(spark):
+    emb = _embeddings(spark)
+    q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["query_id", "embedding"])
+    out = lsh_topk(emb, q, k=3, n_planes=4).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 1 and 2 in ids  # same bucket as the query
+
+
+def test_brute_force_multiple_queries(spark):
+    emb = _embeddings(spark)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["query_id", "embedding"]
+    )
+    out = brute_force_topk(emb, q, k=1).collect()
+    best = {r["query_id"]: r["vec_id"] for r in out}
+    assert best == {0: 1, 1: 3}
