@@ -1,38 +1,798 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship ER pipeline over sf0.001 (repo_files shaped from
+                 the documents table) -> cluster assignments.
+queries()      — one entry per implemented operator family from SURVEY.md §2
+                 (+ the training-data ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Value-parity rules used throughout (Spark vs DuckDB must hash-match):
+  * integer-valued sums/counts only, or the cents trick
+    (sum of round(x*100) is exact in double; divide once at the end);
+  * explicit sum/count instead of avg() so both engines do one division;
+  * every float output rounded; every window given a total order;
+  * DuckDB SUM(BIGINT) returns HUGEINT -> always CAST to BIGINT in oracles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ER pipeline (blocking -> salted pairs -> Arrow scoring
+    -> large/small-star CC) over repo_files shaped from sf0.001 documents."""
+    from entitylinking_spark.operators.blocking import ERConfig
+    from entitylinking_spark.plans.pipeline import resolve
+    from entitylinking_spark.synthdata import repo_files_from_documents
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    repo_files = repo_files_from_documents(docs)
+    res = resolve(repo_files, ERConfig(), id_col="row_id", collect_metrics=False)
+    return res.clusters
+
+
+# ---------------------------------------------------------------------------
+# oracle-checked queries (SQL-expressible operators)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A6-style grouped aggregation (TPC-H Q1 shape) with exact arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.round(F.sum(cents) / 100.0, 2).alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("long"))
+                / F.count("*"), 6
+            ).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0, 2) AS sum_base_price,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)/COUNT(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def j1_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 3-way enrichment join: lineitem |> orders |> customer (broadcast
+    the small dimension side), aggregated per (mktsegment, orderpriority)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+J1_SQL = """
+SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment, o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+def j2_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 multi-hop dimension join: orders -> customer -> nation -> region."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("r_name")
+    )
+
+
+J2_SQL = """
+SELECT r_name, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0, 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def f4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: parts appearing in any lineitem (left_semi), counted per brand."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+F4_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+def f5_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: customers with no orders (left_anti), re-tagged and unioned with
+    a 'has_orders' count row per segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    no = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .withColumn("bucket", F.lit("no_orders"))
+    )
+    yes = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .withColumn("bucket", F.lit("has_orders"))
+    )
+    return no.unionByName(yes).select("c_mktsegment", "bucket", "n").orderBy(
+        "c_mktsegment", "bucket"
+    )
+
+
+F5_SQL = """
+SELECT c_mktsegment, 'no_orders' AS bucket, COUNT(*) AS n FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, 'has_orders' AS bucket, COUNT(*) AS n FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment
+ORDER BY c_mktsegment, bucket
+"""
+
+
+def j5_explode_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 list2point/point2list: explode doc tokens, filter, regroup."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"[^\w]+"), lambda t: F.length(t) > 3
+    )
+    return d.select(
+        "doc_id", F.size(F.array_distinct(toks)).alias("n_distinct_long_tokens")
+    ).orderBy("doc_id")
+
+
+J5_SQL = """
+SELECT doc_id,
+       CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                                          t -> len(t) > 3))) AS INT) AS n_distinct_long_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def t1_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1-T3: deterministic top-3 orders per market segment."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "o_orderkey", "rnk",
+                F.round(F.col("o_totalprice"), 2).alias("price"))
+        .orderBy("c_mktsegment", "rnk")
+    )
+
+
+T1_SQL = """
+SELECT c_mktsegment, o_orderkey, rnk, price FROM (
+  SELECT c_mktsegment, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         ROUND(o_totalprice, 2) AS price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rnk <= 3 ORDER BY c_mktsegment, rnk
+"""
+
+
+def t4_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 deterministic argmin: first order per customer by
+    (orderdate, totalprice, orderkey) — the reference's tie-break order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey")
+    )
+
+
+T4_SQL = """
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_totalprice, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def t5_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 first-seen dedupe: first event per user by arrival (ts, event_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+T5_SQL = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def a3_share_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 per-group accuracy-style ratio with exact int sums."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("value") > 0.5).cast("long")).alias("n_high"),
+            F.round(F.sum((F.col("value") > 0.5).cast("long")) / F.count("*"), 6).alias("high_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A3_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       ROUND(CAST(SUM(CASE WHEN value > 0.5 THEN 1 ELSE 0 END) AS BIGINT)/COUNT(*), 6) AS high_share
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def a5_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 dataset statistics per language (exact aggregates only)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+A5_SQL = """
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def a6_micro_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 micro P/R/F1 over a deterministic classification derived from
+    events: pred = value>0.5, truth = event_type='click'."""
+    e = _t(spark, sf_dir, "events")
+    d = e.select(
+        (F.col("value") > 0.5).alias("pred"), (F.col("event_type") == "click").alias("truth")
+    )
+    agg = d.agg(
+        F.sum((F.col("pred") & F.col("truth")).cast("long")).alias("tp"),
+        F.sum((F.col("pred") & ~F.col("truth")).cast("long")).alias("fp"),
+        F.sum((~F.col("pred") & F.col("truth")).cast("long")).alias("fn"),
+    )
+    return agg.select(
+        "tp", "fp", "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+    )
+
+
+A6_SQL = """
+WITH d AS (SELECT value > 0.5 AS pred, event_type = 'click' AS truth FROM events),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM d)
+SELECT tp, fp, fn, ROUND(tp/(tp+fp), 6) AS precision, ROUND(tp/(tp+fn), 6) AS recall
+FROM agg
+"""
+
+
+def u3_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 set intersection: event users that are also customers."""
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        e.select(F.col("user_id").alias("id"))
+        .intersect(c.select(F.col("c_custkey").alias("id")))
+        .orderBy("id")
+    )
+
+
+U3_SQL = """
+SELECT user_id AS id FROM events INTERSECT SELECT c_custkey AS id FROM customer
+ORDER BY id
+"""
+
+
+def x2_normalize_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 whitespace normalization, first 60 chars."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), 1, 60).alias("norm_prefix"),
+    ).orderBy("doc_id")
+
+
+X2_SQL = """
+SELECT doc_id, substr(regexp_replace(trim(text), '\\s+', ' ', 'g'), 1, 60) AS norm_prefix
+FROM documents ORDER BY doc_id
+"""
+
+
+def x5_first_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 first-sentence summary."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat(F.substring_index(F.col("text"), ".", 1), F.lit(".")).alias("summary"),
+    ).orderBy("doc_id")
+
+
+X5_SQL = """
+SELECT doc_id, split_part(text, '.', 1) || '.' AS summary FROM documents ORDER BY doc_id
+"""
+
+
+def x6_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 lowercase tokenize + count (exact ints)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"[^\w]+"), "")
+    return d.select("doc_id", F.size(toks).alias("n_tokens")).orderBy("doc_id")
+
+
+X6_SQL = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                            t -> t <> '')) AS INT) AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def x7_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 bidirectional substring name score over supplier x nation."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = s.crossJoin(F.broadcast(n))
+    a, b = F.lower(F.col("s_name")), F.lower(F.col("n_name"))
+    score = (
+        F.when(a == b, F.lit(1.0))
+        .when(a.contains(b) | b.contains(a), F.lit(0.7))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select("s_suppkey", "n_nationkey", score.alias("name_score")).orderBy(
+        "s_suppkey", "n_nationkey"
+    )
+
+
+X7_SQL = """
+SELECT s_suppkey, n_nationkey,
+       CASE WHEN lower(s_name) = lower(n_name) THEN 1.0
+            WHEN position(lower(n_name) IN lower(s_name)) > 0
+              OR position(lower(s_name) IN lower(n_name)) > 0 THEN 0.7
+            ELSE 0.0 END AS name_score
+FROM supplier CROSS JOIN nation ORDER BY s_suppkey, n_nationkey
+"""
+
+
+def x8_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 term-frequency: occurrences of 'data' per document."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.size(F.split(F.lower(F.col("text")), "data", -1)) - 1).alias("tf_data"),
+    ).orderBy("doc_id")
+
+
+X8_SQL = """
+SELECT doc_id, CAST(len(regexp_split_to_array(lower(text), 'data')) - 1 AS INT) AS tf_data
+FROM documents ORDER BY doc_id
+"""
+
+
+def x15_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 per-group min-max normalization of order totalprice."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority")
+    rng = F.max("o_totalprice").over(w) - F.min("o_totalprice").over(w)
+    norm = F.when(rng == 0, F.lit(0.0)).otherwise(
+        (F.col("o_totalprice") - F.min("o_totalprice").over(w)) / rng
+    )
+    return o.select(
+        "o_orderkey", "o_orderpriority", F.round(norm, 6).alias("norm_price")
+    ).orderBy("o_orderkey")
+
+
+X15_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND(CASE WHEN mx = mn THEN 0.0 ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS norm_price
+FROM (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         MIN(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+         MAX(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+  FROM orders
+) ORDER BY o_orderkey
+"""
+
+
+def x17_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 confidence blend: 0.7*normalized price + 0.3*normalized size."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy(F.lit(1))
+    price_n = F.col("p_retailprice") / F.max("p_retailprice").over(w)
+    size_n = F.col("p_size") / F.max("p_size").over(w)
+    return p.select(
+        "p_partkey", F.round(0.7 * price_n + 0.3 * size_n, 6).alias("blend")
+    ).orderBy("p_partkey")
+
+
+X17_SQL = """
+SELECT p_partkey,
+       ROUND(0.7 * p_retailprice / MAX(p_retailprice) OVER ()
+           + 0.3 * p_size / MAX(p_size) OVER (), 6) AS blend
+FROM part ORDER BY p_partkey
+"""
+
+
+def j6_label_in_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/A13: candidate-set membership — did supplier 1 supply the part?"""
+    li = _t(spark, sf_dir, "lineitem")
+    cand = li.groupBy("l_partkey").agg(F.collect_set("l_suppkey").alias("supps"))
+    return cand.select(
+        F.col("l_partkey").alias("partkey"),
+        F.array_contains("supps", F.lit(1)).alias("has_supp1"),
+        F.size("supps").alias("n_suppliers"),
+    ).orderBy("partkey")
+
+
+J6_SQL = """
+SELECT l_partkey AS partkey,
+       list_contains(list(DISTINCT l_suppkey), 1) AS has_supp1,
+       CAST(len(list(DISTINCT l_suppkey)) AS INT) AS n_suppliers
+FROM lineitem GROUP BY l_partkey ORDER BY partkey
+"""
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over documents via md5 grouping (rep = min doc_id)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("rep_id"),
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+    ).orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+FROM documents ORDER BY doc_id
+"""
+
+
+def g3_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 transitive closure, oracle-checked: chain edges within each
+    embedding label (consecutive vec_ids) -> REAL large/small-star CC; the
+    oracle knows the answer is per-label min(vec_id)."""
+    from entitylinking_spark.operators.cc import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    chain = emb.select("vec_id", "label", F.lag("vec_id").over(w).alias("prev"))
+    # zero-pad ids so lexicographic string order == numeric order
+    sid = lambda c: F.format_string("v%08d", F.col(c))  # noqa: E731
+    edges = chain.filter(F.col("prev").isNotNull()).select(
+        sid("prev").alias("src"), sid("vec_id").alias("dst")
+    )
+    all_ids = emb.select(sid("vec_id").alias("row_id"))
+    return connected_components(edges, all_ids=all_ids).orderBy("row_id")
+
+
+G3_SQL = """
+SELECT printf('v%08d', vec_id) AS row_id,
+       printf('v%08d', MIN(vec_id) OVER (PARTITION BY label)) AS cluster_id
+FROM embeddings ORDER BY row_id
+"""
+
+
+def lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic label (string output only — no float compare)."""
+    from entitylinking_spark.operators.textstats import detect_language
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", detect_language("text").alias("detected")).orderBy("doc_id")
+
+
+_SW = "'the','of','and','to','in','a','is','that','it','for','on','as','with','was','be','by','are','this','have','from','or','an','at','not','but','had','his','they','you','which','one','all','were','her','she','there'"
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN len(list_intersect(list_distinct(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')),
+                  [{_SW}]))
+                 >= 0.08 * len(list_distinct(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> '')))
+            AND len(list_distinct(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> ''))) > 0
+            THEN 'en' ELSE 'other' END AS detected
+FROM documents ORDER BY doc_id
+"""
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/X14 embedding top-k: exact cosine top-5 for vec_id < 3 queries."""
+    from entitylinking_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, q, k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    ).orderBy("query_id", "rank")
+
+
+SIM_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, ROUND(cosine, 4) AS cosine_r
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def u1_union_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union of id sources + dedupe."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        e.select(F.col("user_id").alias("id"))
+        .unionByName(o.select(F.col("o_custkey").alias("id")))
+        .distinct()
+        .orderBy("id")
+    )
+
+
+U1_SQL = """
+SELECT DISTINCT id FROM (
+  SELECT user_id AS id FROM events UNION ALL SELECT o_custkey AS id FROM orders
+) ORDER BY id
+"""
+
+
+def f2_filter_notin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 NIL-style sentinel filter: drop a source bucket, count remainder."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(~F.col("source").isin("synthetic_a"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .orderBy("source")
+    )
+
+
+F2_SQL = """
+SELECT source, COUNT(*) AS n FROM documents
+WHERE source NOT IN ('synthetic_a') GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: sketches, EM, full ER pipeline)
+# ---------------------------------------------------------------------------
+
+
+def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship ER pipeline over repo_files shaped from documents."""
+    from entitylinking_spark.operators.blocking import ERConfig
+    from entitylinking_spark.plans.pipeline import resolve
+    from entitylinking_spark.synthdata import repo_files_from_documents
+
+    repo_files = repo_files_from_documents(_t(spark, sf_dir, "documents"))
+    return resolve(repo_files, ERConfig(), id_col="row_id", collect_metrics=False).clusters
+
+
+def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entitylinking_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_t(spark, sf_dir, "documents"), threshold=0.7)
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entitylinking_spark.operators.dedup import dedup_simhash
+
+    return dedup_simhash(_t(spark, sf_dir, "documents"), radius=3)
+
+
+def bt_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 Bradley-Terry EM over deterministic experiments derived from
+    orders: within each customer, higher-priced order 'beats' lower."""
+    from entitylinking_spark.operators.ranking import rank_experiments
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    ranked = o.withColumn("pos", F.row_number().over(w)).filter(F.col("pos") <= 4)
+    l = ranked.select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderpriority").alias("win_p"),
+        F.col("pos").alias("pos_l"),
+    )
+    r = ranked.select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderpriority").alias("lose_p"),
+        F.col("pos").alias("pos_r"),
+    )
+    exps = (
+        l.join(r, "cust")
+        .filter(F.col("pos_l") < F.col("pos_r"))
+        .select(
+            F.concat(F.lit("c"), F.col("cust")).alias("mention_id"),
+            (F.col("pos_l") * 10 + F.col("pos_r")).cast("int").alias("exp_id"),
+            F.array(F.col("win_p")).alias("winners"),
+            F.array(F.col("lose_p")).alias("losers"),
+        )
+    )
+    return rank_experiments(exps, "bradley_terry")
+
+
+def media_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents bytes as fake media payloads."""
+    from entitylinking_spark.operators.multimodal import extract_features
+
+    d = _t(spark, sf_dir, "documents").limit(200)
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>"
+        ).alias("meta"),
+    )
+    return extract_features(media, dim=8)
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from entitylinking_spark.operators.textstats import fingerprint_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_udf("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
+
+_ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "j1_enrichment_join": (j1_enrichment_join, J1_SQL),
+    "j2_composite_key_join": (j2_composite_key_join, J2_SQL),
+    "f4_semi_join": (f4_semi_join, F4_SQL),
+    "f5_anti_join": (f5_anti_join, F5_SQL),
+    "j5_explode_regroup": (j5_explode_regroup, J5_SQL),
+    "t1_topk_window": (t1_topk_window, T1_SQL),
+    "t4_tiebreak": (t4_tiebreak, T4_SQL),
+    "t5_first_seen": (t5_first_seen, T5_SQL),
+    "a3_share_by_group": (a3_share_by_group, A3_SQL),
+    "a5_corpus_stats": (a5_corpus_stats, A5_SQL),
+    "a6_micro_prf": (a6_micro_prf, A6_SQL),
+    "u3_intersect": (u3_intersect, U3_SQL),
+    "u1_union_dedupe": (u1_union_dedupe, U1_SQL),
+    "f2_filter_notin": (f2_filter_notin, F2_SQL),
+    "x2_normalize_ws": (x2_normalize_ws, X2_SQL),
+    "x5_first_sentence": (x5_first_sentence, X5_SQL),
+    "x6_token_count": (x6_token_count, X6_SQL),
+    "x7_name_match": (x7_name_match, X7_SQL),
+    "x8_term_frequency": (x8_term_frequency, X8_SQL),
+    "x15_minmax_normalize": (x15_minmax_normalize, X15_SQL),
+    "x17_blend": (x17_blend, X17_SQL),
+    "j6_label_in_candidates": (j6_label_in_candidates, J6_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "g3_connected_components": (g3_connected_components, G3_SQL),
+    "lang_id_stopword": (lang_id_stopword, LANG_ID_SQL),
+    "similarity_topk": (similarity_topk, SIM_TOPK_SQL),
+}
+
+_ROWS_ONLY: dict[str, Callable] = {
+    "er_clusters": er_clusters,
+    "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "bt_rank_orders": bt_rank_orders,
+    "media_features_demo": media_features_demo,
+    "doc_fingerprints": doc_fingerprints,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (fn, _) in _ORACLE_CHECKED.items():
+        out[name] = fn
+    out.update(_ROWS_ONLY)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql.strip() for name, (_, sql) in _ORACLE_CHECKED.items()}

@@ -1,0 +1,137 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries:
+  er_pipeline      full ER: keys -> blocks -> salted pairs -> Arrow scoring
+                   -> CC over repo_files shaped from the documents table
+  dedup_minhash    MinHash-LSH near-dup clustering of documents
+  q1 / j2 / t1     relational representatives (agg / multi-join / window)
+  sim_topk         brute-force cosine top-k over embeddings
+
+Also reports candidate_pairs_scored and pairs_per_sec for the ER run
+(BASELINE.md protocol). Run with --cpus N to override parallelism (used
+for the N vs 4N scaling-efficiency evidence).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from entitylinking_spark.operators.blocking import ERConfig
+    from entitylinking_spark.operators.dedup import dedup_minhash_lsh
+    from entitylinking_spark.operators.similarity import brute_force_topk
+    from entitylinking_spark.plans.pipeline import resolve
+    from entitylinking_spark.session import get_spark
+    from entitylinking_spark.synthdata import repo_files_from_documents
+
+    spark = get_spark(app_name="entitylinking-bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name: str, fn):
+        best = None
+        for _ in range(repetitions):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        return out
+
+    from entitylinking_spark.synthdata import generate_repo_files
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # --- flagship ER pipeline on the synthetic bench table ----------------
+    # (BASELINE.md protocol: deterministic repo_files, seed=42; the driver
+    # documents table is too small to exercise the pair join at bench scale)
+    n_synth = int(os.environ.get("SPARK_GRAFT_ER_ROWS", "20000"))
+    fx = generate_repo_files(n_synth, seed=42)  # generation excluded from timing
+    synth_df = spark.createDataFrame(fx.rows).repartition(max(cpus, 8)).persist()
+    synth_df.count()
+
+    def er_synth():
+        res = resolve(synth_df, ERConfig(), id_col="row_id", collect_metrics=False)
+        n_pairs = res.scored_pairs.count()
+        n_rows = res.clusters.count()
+        extras["candidate_pairs_scored"] = n_pairs
+        extras["er_synth_rows"] = n_rows
+        return n_rows
+
+    timed("er_synth", er_synth)
+    if timings["er_synth"] > 0:
+        extras["pairs_per_sec"] = round(
+            extras["candidate_pairs_scored"] / timings["er_synth"], 1
+        )
+
+    # --- ER over the driver documents table (real parquet input) ----------
+    def er():
+        repo_files = repo_files_from_documents(docs)
+        res = resolve(repo_files, ERConfig(), id_col="row_id", collect_metrics=False)
+        return res.clusters.count()
+
+    timed("er_pipeline", er)
+
+    # --- dedup ------------------------------------------------------------
+    timed("dedup_minhash", lambda: dedup_minhash_lsh(docs, threshold=0.7).count())
+
+    # --- relational representatives ---------------------------------------
+    qs = entry_mod.queries()
+    timed("q1", lambda: qs["q1_pricing_summary"](spark, sf_dir).count())
+    timed("j2", lambda: qs["j2_composite_key_join"](spark, sf_dir).count())
+    timed("t1", lambda: qs["t1_topk_window"](spark, sf_dir).count())
+
+    # --- similarity ---------------------------------------------------------
+    def sim():
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return brute_force_topk(emb, q, k=10).count()
+
+    timed("sim_topk", sim)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--repetitions", type=int, default=1)
+    args = ap.parse_args()
+    result = run_bench(args.sf_dir, args.cpus, args.repetitions)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

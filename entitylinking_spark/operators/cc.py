@@ -76,6 +76,10 @@ def connected_components(
     on_iteration: optional callback(iteration:int, edge_count:int) — used by
     the pipeline to checkpoint the frontier (resume support).
     """
+    # Catalyst's Union constraint rewriting can hit "key not found: attr"
+    # when both union branches share lineage (SPARK-known issue); constraint
+    # propagation buys nothing for this iterated plan — disable it here.
+    edges.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
     e = e.localCheckpoint(eager=True)
     sig = _signature(e)

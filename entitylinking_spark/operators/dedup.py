@@ -133,7 +133,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     `block_cols` (e.g. lang) to bound the self-join; at scale use
     dedup_minhash_lsh to generate candidates and this for verification.
     """
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[^a-z0-9_]+"), lambda t: t != "")
+    toks = F.array_remove(F.split(F.lower(F.col(text_col)), r"[^\w]+"), "")
     grams = F.when(F.size(toks) >= n,
                    F.array_distinct(F.transform(
                        F.sequence(F.lit(0), F.size(toks) - n),

@@ -6,13 +6,20 @@ pairs (/root/reference/OneNet/prompt.py:74-111, parsed+filtered at
 (/root/reference/e2e/entity_database.py:353-372,
 /root/reference/e2e/systems/graph_system.py:754-763). The LLM judgment is
 replaced by deterministic string-similarity kernels (BASELINE.json
-north_star); the cheap-before-expensive cascade (SURVEY.md §4) is kept:
+north_star); the cheap-before-expensive cascade (SURVEY.md §4) is kept and
+made *sound* with an upper-bound prune:
 
-  1. JVM-native components first: sha equality, MinHash estimate,
-     Levenshtein on paths. Jaro-Winkler on file names is the only Arrow
-     kernel in the hot path.
-  2. Exact token-Jaccard (the expensive verify — needs full token sets)
-     runs ONLY on pairs whose cheap score clears `tau - prescreen_margin`.
+  1. JVM-native first: sha equality, MinHash estimate, Levenshtein on file
+     names — all whole-stage-codegen.
+  2. Upper-bound prune: even with a perfect name similarity (1.0), a pair
+     with w_name*1 + w_content*content_est < tau - margin cannot reach the
+     threshold -> rejected without ever running Python.
+  3. Survivors only: Arrow-batched Jaro-Winkler + exact token-Jaccard
+     verification (the expensive token-set join).
+
+Pruned pairs report name_sim = NULL (never computed) and a score built
+from the native Levenshtein surrogate — by construction below tau, so the
+match decision is identical to scoring everything.
 """
 
 from __future__ import annotations
@@ -27,7 +34,10 @@ from entitylinking_spark.functions.strings import (
 )
 from entitylinking_spark.operators.blocking import ERConfig
 
-_FEATURES = ["row_id", "fname", "path", "minhash", "content_sha"]
+_FEATURES = ["row_id", "fname", "minhash", "content_sha"]
+
+_OUT_COLS = ["id_l", "id_r", "block_key", "name_sim", "lev_sim", "minhash_sim",
+             "jaccard_sim", "score"]
 
 
 def _attach(pairs: DataFrame, keyed: DataFrame, cols: list[str]) -> DataFrame:
@@ -46,62 +56,64 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig()) 
     p = _attach(pairs, keyed, _FEATURES)
 
     p = (
-        p.withColumn("name_sim", jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")))
-        .withColumn("lev_sim", levenshtein_sim(F.col("path_l"), F.col("path_r")))
+        p.withColumn("lev_sim", levenshtein_sim(F.col("fname_l"), F.col("fname_r")))
         .withColumn("exact", F.col("content_sha_l") == F.col("content_sha_r"))
         .withColumn("minhash_sim", minhash_similarity("minhash_l", "minhash_r"))
-        .withColumn("name_comp", F.greatest(F.col("name_sim"), F.col("lev_sim")))
         .withColumn(
             "content_est",
             F.when(F.col("exact"), F.lit(1.0)).otherwise(F.col("minhash_sim")),
         )
-        .withColumn(
-            "score_est",
-            cfg.w_name * F.col("name_comp") + cfg.w_content * F.col("content_est"),
-        )
     )
-    base_cols = ["id_l", "id_r", "block_key", "name_sim", "lev_sim", "minhash_sim",
-                 "name_comp", "exact"]
+    # upper bound on the final score: name component can never exceed 1.0
+    cutoff = cfg.tau - cfg.prescreen_margin
+    survives = F.col("exact") | (
+        cfg.w_name * 1.0 + cfg.w_content * F.col("content_est") >= F.lit(cutoff)
+    )
 
-    if not cfg.verify_jaccard:
-        return p.select(
-            *base_cols,
-            F.lit(None).cast("double").alias("jaccard_sim"),
-            F.col("score_est").alias("score"),
-        ).drop("name_comp", "exact")
-
-    prescreen = F.col("exact") | (F.col("score_est") >= F.lit(cfg.tau - cfg.prescreen_margin))
-    cheap_rejects = p.filter(~prescreen).select(
-        *base_cols,
+    pruned = p.filter(~survives).select(
+        "id_l", "id_r", "block_key",
+        F.lit(None).cast("double").alias("name_sim"),
+        "lev_sim", "minhash_sim",
         F.lit(None).cast("double").alias("jaccard_sim"),
-        F.col("score_est").alias("score"),
+        (cfg.w_name * F.col("lev_sim") + cfg.w_content * F.col("content_est")).alias("score"),
     )
 
-    toks = keyed.select(
-        "row_id", F.array_distinct(tokenize(F.col("content"))).alias("ctoks")
+    surv = p.filter(survives).withColumn(
+        "name_sim",
+        F.greatest(jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")), F.col("lev_sim")),
     )
-    survivors = p.filter(prescreen)
-    tl = toks.select(F.col("row_id").alias("_tid_l"), F.col("ctoks").alias("ctoks_l"))
-    tr = toks.select(F.col("row_id").alias("_tid_r"), F.col("ctoks").alias("ctoks_r"))
-    verified = (
-        survivors.join(tl, survivors["id_l"] == tl["_tid_l"])
-        .join(tr, survivors["id_r"] == tr["_tid_r"])
-        .withColumn(
-            "jaccard_sim",
-            F.when(F.col("exact"), F.lit(1.0)).otherwise(
-                F.size(F.array_intersect("ctoks_l", "ctoks_r")).cast("double")
-                / F.greatest(
-                    F.size(F.array_union("ctoks_l", "ctoks_r")).cast("double"), F.lit(1.0)
-                )
-            ),
+
+    if cfg.verify_jaccard:
+        toks = keyed.select(
+            "row_id", F.array_distinct(tokenize(F.col("content"))).alias("ctoks")
         )
-        .withColumn(
-            "score",
-            cfg.w_name * F.col("name_comp") + cfg.w_content * F.col("jaccard_sim"),
+        tl = toks.select(F.col("row_id").alias("_tid_l"), F.col("ctoks").alias("ctoks_l"))
+        tr = toks.select(F.col("row_id").alias("_tid_r"), F.col("ctoks").alias("ctoks_r"))
+        surv = (
+            surv.join(tl, surv["id_l"] == tl["_tid_l"])
+            .join(tr, surv["id_r"] == tr["_tid_r"])
+            .withColumn(
+                "jaccard_sim",
+                F.when(F.col("exact"), F.lit(1.0)).otherwise(
+                    F.size(F.array_intersect("ctoks_l", "ctoks_r")).cast("double")
+                    / F.greatest(
+                        F.size(F.array_union("ctoks_l", "ctoks_r")).cast("double"),
+                        F.lit(1.0),
+                    )
+                ),
+            )
+            .withColumn("content_final", F.col("jaccard_sim"))
         )
-        .select(*base_cols, "jaccard_sim", "score")
-    )
-    return cheap_rejects.unionByName(verified).drop("name_comp", "exact")
+    else:
+        surv = surv.withColumn(
+            "jaccard_sim", F.lit(None).cast("double")
+        ).withColumn("content_final", F.col("content_est"))
+
+    scored_surv = surv.withColumn(
+        "score", cfg.w_name * F.col("name_sim") + cfg.w_content * F.col("content_final")
+    ).select(*_OUT_COLS)
+
+    return pruned.unionByName(scored_surv)
 
 
 def matched_edges(scored: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:

@@ -33,8 +33,8 @@ def bpe_ish_token_count(col: str | Column) -> Column:
     """BPE-flavoured proxy: words + digits + punctuation marks counted
     separately (closer to LLM token counts than whitespace splitting)."""
     c = F.col(col) if isinstance(col, str) else col
-    words = F.size(F.filter(F.split(c, r"[^A-Za-z]+"), lambda t: t != ""))
-    digits = F.size(F.filter(F.split(c, r"[^0-9]+"), lambda t: t != ""))
+    words = F.size(F.array_remove(F.split(c, r"[^a-zA-Z]+"), ""))
+    digits = F.size(F.array_remove(F.split(c, r"[^\d]+"), ""))
     punct = F.length(F.regexp_replace(c, r"[A-Za-z0-9\s]", ""))
     return words + digits + punct
 

@@ -71,6 +71,8 @@ def resolve(
     rep_rows = keyed.join(
         reps.select(F.col("rep_id").alias("row_id")), "row_id", "left_semi"
     )
+    if not store.enabled:
+        rep_rows = rep_rows.persist()  # scanned 4x by the pair scorer
 
     # ---- blocking + census + salted pair join over representatives ------
     blocks = store.get_or_compute("blocks", lambda: block_candidates(rep_rows, cfg))

@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Catalyst Union constraint rewriting bug with shared-lineage unions
+        # (see operators/cc.py); the inference it disables is worthless here
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
