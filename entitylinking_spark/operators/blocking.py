@@ -76,8 +76,6 @@ def with_keys(repo_files: DataFrame, cfg: ERConfig = ERConfig(),
     return (
         df.withColumn("content_sha", F.sha2(F.col("content"), 256))
         .withColumn("fname", F.element_at(F.split(F.col("path"), "/"), -1))
-        .withColumn("path_tokens", tokenize(F.col("path")))
-        .withColumn("n_tokens", F.size(tokenize(F.col("content"))))
         .withColumn("minhash", minhash(F.col("content")))
     )
 

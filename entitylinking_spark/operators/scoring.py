@@ -51,8 +51,15 @@ def _attach(pairs: DataFrame, keyed: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
-    """(id_l,id_r,block_key) + keyed features -> SCORED_PAIRS rows."""
+def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
+                content_df: DataFrame | None = None) -> DataFrame:
+    """(id_l,id_r,block_key) + keyed features -> SCORED_PAIRS rows.
+
+    content_df: optional (row_id, content) source for the verify join.
+    Passing it lets the caller persist `keyed` WITHOUT the content column
+    (the cache-serialization hot spot) while the verify join reads content
+    through a column-pruned scan of the original source.
+    """
     p = _attach(pairs, keyed, _FEATURES)
 
     p = (
@@ -84,7 +91,8 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig()) 
     )
 
     if cfg.verify_jaccard:
-        toks = keyed.select(
+        toks_src = content_df if content_df is not None else keyed
+        toks = toks_src.select(
             "row_id", F.array_distinct(tokenize(F.col("content"))).alias("ctoks")
         )
         tl = toks.select(F.col("row_id").alias("_tid_l"), F.col("ctoks").alias("ctoks_l"))

@@ -55,9 +55,18 @@ def resolve(
     store = CheckpointStore(checkpoint_dir, spark)
     m = MetricsCollector()
 
-    keyed = store.get_or_compute("keyed", lambda: with_keys(repo_files, cfg, id_col=id_col))
+    keyed_full = store.get_or_compute(
+        "keyed", lambda: with_keys(repo_files, cfg, id_col=id_col)
+    )
+    # persist WITHOUT content: serializing multi-KB content strings into the
+    # cache is the dominant cost of this stage, and only the verify join
+    # reads content — through a column-pruned scan of the source instead.
+    # (On the checkpointed path keyed_full is a parquet read, where column
+    # pruning at the scan achieves the same thing with no persist.)
+    keyed = keyed_full.drop("content")
     if not store.enabled:
         keyed = keyed.persist()
+    content_df = keyed_full.select("row_id", "content")
 
     # ---- exact-duplicate fast path (sha grouping; no pairs generated) ----
     # rep = min row_id per content_sha; edge (row -> rep) for non-reps.
@@ -71,8 +80,6 @@ def resolve(
     rep_rows = keyed.join(
         reps.select(F.col("rep_id").alias("row_id")), "row_id", "left_semi"
     )
-    if not store.enabled:
-        rep_rows = rep_rows.persist()  # scanned 4x by the pair scorer
 
     # ---- blocking + census + salted pair join over representatives ------
     blocks = store.get_or_compute("blocks", lambda: block_candidates(rep_rows, cfg))
@@ -81,7 +88,9 @@ def resolve(
         m.record("blocks", **m.block_stats(census, cfg.block_cap, cfg.skip_block_threshold))
 
     pairs = candidate_pairs(blocks, cfg, census=census)
-    scored = store.get_or_compute("pairs_scored", lambda: score_pairs(pairs, rep_rows, cfg))
+    scored = store.get_or_compute(
+        "pairs_scored", lambda: score_pairs(pairs, rep_rows, cfg, content_df=content_df)
+    )
     if not store.enabled:
         scored = scored.persist()
     if collect_metrics:
@@ -106,4 +115,4 @@ def resolve(
         m.record("clusters", n_rows=clusters.count(),
                  n_clusters=clusters.select("cluster_id").distinct().count())
 
-    return ERResult(clusters=clusters, scored_pairs=scored, keyed=keyed, metrics=m)
+    return ERResult(clusters=clusters, scored_pairs=scored, keyed=keyed_full, metrics=m)

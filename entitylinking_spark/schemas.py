@@ -31,8 +31,6 @@ KEYED = T.StructType(
         T.StructField("row_id", T.StringType(), False),
         T.StructField("content_sha", T.StringType(), False),  # invariant column
         T.StructField("fname", T.StringType(), False),
-        T.StructField("path_tokens", T.ArrayType(T.StringType()), False),
-        T.StructField("n_tokens", T.IntegerType(), False),
         T.StructField("minhash", T.ArrayType(T.LongType()), False),
     ]
 )

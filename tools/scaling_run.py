@@ -1,0 +1,72 @@
+"""One cold-session ER run for the N-vs-4N scaling protocol (BASELINE.md).
+
+Usage: python tools/scaling_run.py --cpus 8 [--rows 200000] [--gen-only]
+
+First call with --gen-only writes the deterministic bench table (seed=42)
+to .bench_cache/; each measured run then starts a fresh SparkSession, reads
+the parquet, runs the full pipeline (keys -> blocks -> salted pairs ->
+scoring -> CC), and prints one JSON line with wall time and pairs/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_cache")
+
+
+def gen(rows: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from entitylinking_spark.synthdata import generate_repo_files
+
+    path = os.path.join(CACHE, f"repo_files_{rows}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(CACHE, exist_ok=True)
+        fx = generate_repo_files(rows, seed=42)
+        pq.write_table(pa.Table.from_pandas(fx.rows, preserve_index=False), path)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--gen-only", action="store_true")
+    args = ap.parse_args()
+
+    path = gen(args.rows)
+    if args.gen_only:
+        print(json.dumps({"generated": path}))
+        return
+
+    from entitylinking_spark.operators.blocking import ERConfig
+    from entitylinking_spark.plans.pipeline import resolve
+    from entitylinking_spark.session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{args.cpus}", cores=args.cpus,
+                      shuffle_partitions=max(args.cpus * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(path)
+
+    t0 = time.time()
+    res = resolve(df, ERConfig(), id_col="row_id", collect_metrics=False)
+    n_pairs = res.scored_pairs.count()
+    n_rows = res.clusters.count()
+    dt = time.time() - t0
+    print(json.dumps({
+        "cpus": args.cpus, "rows": n_rows, "pairs": n_pairs,
+        "wall_s": round(dt, 2), "pairs_per_sec": round(n_pairs / dt, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
