@@ -663,6 +663,170 @@ WHERE source NOT IN ('synthetic_a') GROUP BY source ORDER BY source
 """
 
 
+def a2_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 point2list-style regroup: deterministic sorted collect per group."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.sort_array(F.collect_set("source")).alias("sources"),
+             F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+A2_SQL = """
+SELECT lang, list_sort(list(DISTINCT source)) AS sources, COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/A6 multi-granularity: per-type x overall in one pass (cube)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.cube("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("user_id")).alias("sum_users"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("(all)")).alias("bucket"),
+            "n", "sum_users",
+        )
+        .orderBy("bucket")
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(event_type, '(all)') AS bucket, COUNT(*) AS n,
+       CAST(SUM(user_id) AS BIGINT) AS sum_users
+FROM events GROUP BY CUBE(event_type) ORDER BY bucket
+"""
+
+
+def j3_channel_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 merge-context-and-prior: two independently-derived per-user
+    channels joined on the key, with an agreement flag."""
+    e = _t(spark, sf_dir, "events")
+    ctx = (
+        e.groupBy("user_id")
+        .agg(F.max_by("event_type", F.struct(F.col("value"), F.col("event_id"))).alias("ctx_pick"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("prior_pick"))
+    )
+    return (
+        ctx.join(prior, "user_id")
+        .withColumn("agree", F.col("ctx_pick") == F.col("prior_pick"))
+        .orderBy("user_id")
+    )
+
+
+J3_SQL = """
+WITH ctx AS (
+  SELECT user_id, event_type AS ctx_pick FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1
+), prior AS (
+  SELECT user_id, event_type AS prior_pick FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events) WHERE rn = 1
+)
+SELECT ctx.user_id, ctx_pick, prior_pick, ctx_pick = prior_pick AS agree
+FROM ctx JOIN prior ON ctx.user_id = prior.user_id ORDER BY ctx.user_id
+"""
+
+
+def t2_boosted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 BM25-style top-k with boosts: base score + exact-match bonus."""
+    d = _t(spark, sf_dir, "documents")
+    score = (
+        F.col("n_chars").cast("double")
+        + F.when(F.col("source") == "web", F.lit(10000.0)).otherwise(F.lit(0.0))
+        + F.when(F.col("source").contains("wiki"), F.lit(5000.0)).otherwise(F.lit(0.0))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("boosted"), F.col("doc_id"))
+    return (
+        d.withColumn("boosted", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "rnk", F.round("boosted", 2).alias("boosted_r"))
+        .orderBy("lang", "rnk")
+    )
+
+
+T2_SQL = """
+SELECT lang, doc_id, rnk, boosted_r FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY boosted DESC, doc_id) AS rnk,
+         ROUND(boosted, 2) AS boosted_r
+  FROM (
+    SELECT lang, doc_id,
+           CAST(n_chars AS DOUBLE)
+           + CASE WHEN source = 'web' THEN 10000.0 ELSE 0.0 END
+           + CASE WHEN position('wiki' IN source) > 0 THEN 5000.0 ELSE 0.0 END AS boosted
+    FROM documents)
+) WHERE rnk <= 5 ORDER BY lang, rnk
+"""
+
+
+def x4_cut_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 sentence cut: tail after the last '.' + first sentence."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.element_at(F.split(F.col("text"), r"\.", -1), -1).alias("cut_left"),
+        F.concat(F.substring_index(F.col("text"), ".", 1), F.lit(".")).alias("cut_right"),
+    ).orderBy("doc_id")
+
+
+X4_SQL = """
+SELECT doc_id,
+       regexp_split_to_array(text, '\\.')[-1] AS cut_left,
+       split_part(text, '.', 1) || '.' AS cut_right
+FROM documents ORDER BY doc_id
+"""
+
+
+def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard near-dup pairs within lang blocks (dedup op)."""
+    from entitylinking_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, block_cols=["lang"], n=2, threshold=0.2)
+    return out.select(
+        "id_l", "id_r", F.round("jaccard", 6).alias("jaccard_r")
+    ).orderBy("id_l", "id_r")
+
+
+NGRAM_SQL = """
+WITH g AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         CASE WHEN len(toks) >= 2
+              THEN list_distinct(list_transform(range(1, len(toks)),
+                                                i -> toks[i] || ' ' || toks[i+1]))
+              ELSE list_distinct(toks) END AS grams
+  FROM (SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           t -> t <> '') AS toks
+        FROM documents)
+)
+SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+       ROUND(CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 1.0
+                  ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                       / len(list_distinct(l.grams || r.grams)) END, 6) AS jaccard_r
+FROM g l JOIN g r ON l.lang = r.lang AND l.doc_id < r.doc_id
+WHERE CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 1.0
+           ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+                / len(list_distinct(l.grams || r.grams)) END >= 0.2
+ORDER BY id_l, id_r
+"""
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (non-SQL-expressible: sketches, EM, full ER pipeline)
 # ---------------------------------------------------------------------------
@@ -774,6 +938,12 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "g3_connected_components": (g3_connected_components, G3_SQL),
     "lang_id_stopword": (lang_id_stopword, LANG_ID_SQL),
     "similarity_topk": (similarity_topk, SIM_TOPK_SQL),
+    "a2_collect_sorted": (a2_collect_sorted, A2_SQL),
+    "q_cube_counts": (q_cube_counts, CUBE_SQL),
+    "j3_channel_merge": (j3_channel_merge, J3_SQL),
+    "t2_boosted_topk": (t2_boosted_topk, T2_SQL),
+    "x4_cut_context": (x4_cut_context, X4_SQL),
+    "dedup_ngram_jaccard_docs": (dedup_ngram_jaccard_docs, NGRAM_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {

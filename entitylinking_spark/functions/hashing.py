@@ -38,30 +38,69 @@ _PERM_B = _rng.randint(0, 2**62, size=_MAX_PERMS).astype(np.uint64)
 _TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
-def _shingle_offsets(
+# odd multipliers for the numeric k-gram combine (any fixed odd constants)
+_COMBINE = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64,
+)
+
+
+def _shingle_hashes(
     token_lists: list[list[str]], raw: list[str], k: int
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Flatten k-gram shingles of every row into one object array.
+    """Vectorized shingle hashing for a whole Arrow batch.
 
-    Returns (flat_shingles, row_offsets) where row_offsets[i] is the start
-    of row i's shingles in flat_shingles. Rows with fewer than k tokens
-    fall back to 1-gram shingles; rows with NO tokens contribute a sentinel
-    derived from the raw string — identical contents must produce identical
-    signatures regardless of batch position or partitioning (determinism /
-    resume), while different token-less contents stay distinct.
+    Token strings are hashed ONCE (pandas' C siphash over one flat object
+    array); k-gram shingle hashes are a numeric rolling combine of k
+    consecutive token hashes (shifted-view multiply-xor on uint64) — no
+    Python-level string building, which measured ~40s/task on 2 KB docs.
+
+    Returns (flat_shingle_hashes, row_offsets). Rows with fewer than k
+    tokens fall back to their token hashes; rows with NO tokens contribute
+    one sentinel hash derived from the raw string, so identical contents
+    always get identical signatures (determinism / resume) and different
+    token-less contents stay distinct.
     """
-    flat: list[str] = []
-    offsets = np.empty(len(token_lists), dtype=np.int64)
+    n_rows = len(token_lists)
+    counts = np.empty(n_rows, dtype=np.int64)
+    flat_tokens: list[str] = []
     for i, toks in enumerate(token_lists):
-        offsets[i] = len(flat)
-        n = len(toks)
-        if n >= k:
-            flat.extend(" ".join(toks[j : j + k]) for j in range(n - k + 1))
-        elif n > 0:
-            flat.extend(toks)
+        if toks:
+            counts[i] = len(toks)
+            flat_tokens.extend(toks)
         else:
-            flat.append(f"\x00raw:{raw[i]}")
-    return np.array(flat, dtype=object), offsets
+            counts[i] = 1
+            flat_tokens.append(f"\x00raw:{raw[i]}")
+    th = pd.util.hash_array(np.array(flat_tokens, dtype=object))
+    tok_offsets = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(counts[:-1], out=tok_offsets[1:])
+    total = int(counts.sum())
+
+    # global rolling combine; windows crossing row boundaries are never
+    # selected by the index construction below
+    if total >= k:
+        sh = th[: total - k + 1] * _COMBINE[0]
+        for j in range(1, k):
+            sh = sh ^ (th[j : total - k + 1 + j] * _COMBINE[j % len(_COMBINE)])
+    else:
+        sh = np.zeros(0, dtype=np.uint64)
+
+    valid_cnt = np.maximum(counts - k + 1, 0)
+    use_tokens = counts < k
+    src_cnt = np.where(use_tokens, counts, valid_cnt)
+    out_offsets = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(src_cnt[:-1], out=out_offsets[1:])
+    total_out = int(src_cnt.sum())
+
+    row_of = np.repeat(np.arange(n_rows), src_cnt)
+    pos_in_row = np.arange(total_out) - np.repeat(out_offsets, src_cnt)
+    src_idx = tok_offsets[row_of] + pos_in_row
+    from_tokens = use_tokens[row_of]
+    vals = np.empty(total_out, dtype=np.uint64)
+    if sh.size:
+        vals[~from_tokens] = sh[src_idx[~from_tokens]]
+    vals[from_tokens] = th[src_idx[from_tokens]]
+    return vals, out_offsets
 
 
 def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3):
@@ -75,9 +114,10 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3):
     def minhash(content: pd.Series) -> pd.Series:
         filled = content.fillna("")
         toks = filled.str.lower().str.findall(_TOKEN_RE)
-        flat, offsets = _shingle_offsets(toks.tolist(), filled.tolist(), shingle_k)
-        base = pd.util.hash_array(flat)  # vectorized siphash, fixed key
+        base, offsets = _shingle_hashes(toks.tolist(), filled.tolist(), shingle_k)
         n_rows = len(offsets)
+        if n_rows == 0:
+            return pd.Series([], dtype=object)
         sig = np.empty((n_rows, num_perm), dtype=np.uint64)
         for p in range(num_perm):
             hashed = base * a[p] + b[p]  # wrapping uint64

@@ -42,8 +42,12 @@ def candidate_channels(mentions: DataFrame, entities: DataFrame,
         F.lower(F.col("title")).alias("e_name"), F.col("text").alias("e_text"),
     )
 
-    # channel 1: name — join on a shared first-token block, score X7-style
-    m_name = m.withColumn("name_block", F.element_at(tokenize("m_name"), 1))
+    # channel 1: name — join on a shared first-token block, score X7-style.
+    # F7 short-query guard (graph_system.py:509-510): queries < 2 chars are
+    # noise and would also make the block key a skew magnet.
+    m_name = m.withColumn("name_block", F.element_at(tokenize("m_name"), 1)).filter(
+        F.length("name_block") >= 2
+    )
     e_name = e.withColumn("name_block", F.element_at(tokenize("e_name"), 1))
     name_cands = (
         m_name.join(e_name, ["corpus", "name_block"])
@@ -56,10 +60,10 @@ def candidate_channels(mentions: DataFrame, entities: DataFrame,
     # postings, TF-count (the relational form of the term-frequency scorer)
     m_toks = m.select(
         "corpus", "mention_id", F.explode(F.array_distinct(tokenize("m_text"))).alias("tok")
-    )
+    ).filter(F.length("tok") >= 2)
     e_toks = e.select(
         "corpus", "document_id", F.explode(F.array_distinct(tokenize("e_text"))).alias("tok")
-    )
+    ).filter(F.length("tok") >= 2)
     token_cands = (
         m_toks.join(e_toks, ["corpus", "tok"])
         .groupBy("mention_id", "document_id")

@@ -65,7 +65,11 @@ def resolve(
     # pruning at the scan achieves the same thing with no persist.)
     keyed = keyed_full.drop("content")
     if not store.enabled:
+        # persist AND materialize now: the slim keyed is referenced ~8x in
+        # the DAG below; on a cold cache, concurrent branches of the first
+        # job would each recompute the MinHash UDF before the cache fills.
         keyed = keyed.persist()
+        keyed.count()
     content_df = keyed_full.select("row_id", "content")
 
     # ---- exact-duplicate fast path (sha grouping; no pairs generated) ----
@@ -80,6 +84,8 @@ def resolve(
     rep_rows = keyed.join(
         reps.select(F.col("rep_id").alias("row_id")), "row_id", "left_semi"
     )
+    if not store.enabled:
+        rep_rows = rep_rows.persist()  # scanned by blocks + census + 2 feature joins
 
     # ---- blocking + census + salted pair join over representatives ------
     blocks = store.get_or_compute("blocks", lambda: block_candidates(rep_rows, cfg))

@@ -47,6 +47,10 @@ def get_spark(
         # 4 KB documents stays ~40 MB, not unbounded (SURVEY.md §7 pitfalls)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # local scans of medium parquet otherwise yield too few partitions
+        # for the Arrow-UDF stage (400 MB -> 4 tasks); on a real cluster the
+        # input file count dominates and this only splits giant files
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

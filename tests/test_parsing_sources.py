@@ -137,6 +137,26 @@ class TestReaders:
         assert read_json_array_or_lines(spark, str(arr)).count() == 2
         assert read_json_array_or_lines(spark, str(lines)).count() == 2
 
+    def test_read_wikidata_entities(self, spark, tmp_path):
+        from entitylinking_spark.sources.readers import read_wikidata_entities
+        doc = {
+            "id": "Q1",
+            "labels": {"en": {"language": "en", "value": "Universe"},
+                       "de": {"language": "de", "value": "Universum"}},
+            "descriptions": {"en": {"language": "en", "value": "everything"}},
+            "aliases": {"en": [{"language": "en", "value": "cosmos"},
+                               {"language": "en", "value": "space"}]},
+        }
+        p = tmp_path / "q1.json"
+        p.write_text(json.dumps(doc))
+        out = read_wikidata_entities(spark, str(p)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["entity_id"] == "Q1"
+        assert r["label"] == "Universe"
+        assert r["description"] == "everything"
+        assert r["aliases"] == ["cosmos", "space"]
+
     def test_merge_shards_first_seen(self, spark, tmp_path):
         s1 = tmp_path / "s1.jsonl"
         s2 = tmp_path / "s2.jsonl"

@@ -31,7 +31,13 @@ def gen(rows: int) -> str:
     if not os.path.exists(path):
         os.makedirs(CACHE, exist_ok=True)
         fx = generate_repo_files(rows, seed=42)
-        pq.write_table(pa.Table.from_pandas(fx.rows, preserve_index=False), path)
+        # small row groups: parquet cannot split below row-group boundaries,
+        # and a single 400 MB row group serializes the whole scan (and every
+        # Arrow UDF above it) into ONE task
+        pq.write_table(
+            pa.Table.from_pandas(fx.rows, preserve_index=False), path,
+            row_group_size=10_000,
+        )
     return path
 
 
