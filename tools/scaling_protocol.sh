@@ -1,13 +1,12 @@
 #!/bin/bash
-# BASELINE.md measurement protocol: cold session per rep, 3 reps per
-# parallelism, results appended as JSON lines.
+# BASELINE.md measurement protocol: one cold session per parallelism,
+# 1 untimed warmup + 3 timed reps inside it, cold-session warmup time
+# also reported. Results appended as JSON lines.
 set -u
 OUT=.bench_cache/scaling_results.jsonl
 : > "$OUT"
-for rep in 1 2 3; do
-  for cpus in 32 8; do
-    echo "--- cpus=$cpus rep=$rep $(date +%H:%M:%S)" >&2
-    python tools/scaling_run.py --cpus $cpus --rows 200000 2>/dev/null | tail -1 >> "$OUT"
-  done
+for cpus in 32 8; do
+  echo "--- cpus=$cpus $(date +%H:%M:%S)" >&2
+  python tools/scaling_run.py --cpus $cpus --rows 200000 --reps 3 2>/dev/null | tail -1 >> "$OUT"
 done
 echo DONE >&2

@@ -1,11 +1,13 @@
-"""One cold-session ER run for the N-vs-4N scaling protocol (BASELINE.md).
+"""One session of the ER scaling protocol (BASELINE.md).
 
-Usage: python tools/scaling_run.py --cpus 8 [--rows 200000] [--gen-only]
+Usage: python tools/scaling_run.py --cpus 8 [--rows 200000] [--reps 3] [--gen-only]
 
-First call with --gen-only writes the deterministic bench table (seed=42)
-to .bench_cache/; each measured run then starts a fresh SparkSession, reads
-the parquet, runs the full pipeline (keys -> blocks -> salted pairs ->
-scoring -> CC), and prints one JSON line with wall time and pairs/sec.
+First call with --gen-only writes the deterministic bench table (seed=42,
+10k-row parquet groups) to .bench_cache/. A measured session starts a fresh
+SparkSession at the given parallelism, runs ONE untimed warmup pass (JVM
+JIT + codegen + python-worker spawn — identical fixed cost at every
+parallelism, excluded so the ratio measures throughput), then `reps` timed
+full-pipeline runs. Prints one JSON line with all rep times.
 """
 
 from __future__ import annotations
@@ -45,6 +47,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--rows", type=int, default=200_000)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--gen-only", action="store_true")
     args = ap.parse_args()
 
@@ -62,14 +65,23 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(path)
 
-    t0 = time.time()
-    res = resolve(df, ERConfig(), id_col="row_id", collect_metrics=False)
-    n_pairs = res.scored_pairs.count()
-    n_rows = res.clusters.count()
-    dt = time.time() - t0
+    def one_run():
+        t0 = time.time()
+        res = resolve(df, ERConfig(), id_col="row_id", collect_metrics=False)
+        n_pairs = res.scored_pairs.count()
+        n_rows = res.clusters.count()
+        dt = time.time() - t0
+        res.scored_pairs.unpersist()
+        res.keyed.unpersist()
+        return dt, n_pairs, n_rows
+
+    warmup_s, n_pairs, n_rows = one_run()
+    walls = [round(one_run()[0], 2) for _ in range(args.reps)]
+    med = sorted(walls)[len(walls) // 2]
     print(json.dumps({
         "cpus": args.cpus, "rows": n_rows, "pairs": n_pairs,
-        "wall_s": round(dt, 2), "pairs_per_sec": round(n_pairs / dt, 1),
+        "warmup_s": round(warmup_s, 2), "wall_s_reps": walls,
+        "wall_s": med, "pairs_per_sec": round(n_pairs / med, 1),
     }))
     spark.stop()
 
