@@ -151,6 +151,35 @@ def band_keys(sig_col: str | Column, num_bands: int, rows_per_band: int) -> Colu
     return F.array(*entries)
 
 
+def bbit_sketch(sig_col: str | Column) -> Column:
+    """8-bit minwise sketch: low byte of each signature position (Li &
+    König, 'b-bit minwise hashing'). 64 tinyints (~72 B in Tungsten) vs 64
+    longs (~520 B) — built for the pair-join shuffle, where attaching full
+    signatures to every candidate pair dominated the stage (~10 GB at 9M
+    pairs)."""
+    sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    # shift into signed-tinyint range (ANSI cast would overflow above 127);
+    # equality of sketch bytes is all the estimator uses
+    return F.transform(
+        sig, lambda x: (x.bitwiseAND(F.lit(255)) - F.lit(128)).cast("tinyint")
+    )
+
+
+def bbit_similarity(sk_l: str | Column, sk_r: str | Column, b_bits: int = 8) -> Column:
+    """Bias-corrected Jaccard estimate from b-bit sketches:
+    E[match] = J + (1-J)/2^b  =>  J_hat = (m - r)/(1 - r), r = 2^-b."""
+    l = F.col(sk_l) if isinstance(sk_l, str) else sk_l
+    r = F.col(sk_r) if isinstance(sk_r, str) else sk_r
+    matches = F.aggregate(
+        F.zip_with(l, r, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    m = matches.cast("double") / F.size(l).cast("double")
+    rr = 1.0 / (1 << b_bits)
+    return F.greatest(F.lit(0.0), (m - F.lit(rr)) / F.lit(1.0 - rr))
+
+
 def minhash_similarity(sig_l: str | Column, sig_r: str | Column) -> Column:
     """Estimated Jaccard = fraction of equal signature positions (JVM-side).
 

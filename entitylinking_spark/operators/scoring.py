@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from entitylinking_spark.functions.hashing import minhash_similarity
+from entitylinking_spark.functions.hashing import bbit_similarity, bbit_sketch
 from entitylinking_spark.functions.strings import (
     jaro_winkler_udf,
     levenshtein_sim,
@@ -34,7 +34,11 @@ from entitylinking_spark.functions.strings import (
 )
 from entitylinking_spark.operators.blocking import ERConfig
 
-_FEATURES = ["row_id", "fname", "minhash", "content_sha"]
+# shuffled once per pair side — keep it NARROW: an 8-bit minwise sketch
+# instead of the 64x8B signature, and an 8-byte content hash instead of the
+# 64-char sha (pairs between identical contents only exist when the caller
+# skips the exact-dup rep fast path, e.g. direct score_pairs use in tests)
+_FEATURES = ["row_id", "fname", "mh8", "h8"]
 
 _OUT_COLS = ["id_l", "id_r", "block_key", "name_sim", "lev_sim", "minhash_sim",
              "jaccard_sim", "score"]
@@ -60,12 +64,17 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
     (the cache-serialization hot spot) while the verify join reads content
     through a column-pruned scan of the original source.
     """
-    p = _attach(pairs, keyed, _FEATURES)
+    feats = keyed.select(
+        "row_id", "fname",
+        bbit_sketch("minhash").alias("mh8"),
+        F.xxhash64("content_sha").alias("h8"),
+    )
+    p = _attach(pairs, feats, _FEATURES)
 
     p = (
         p.withColumn("lev_sim", levenshtein_sim(F.col("fname_l"), F.col("fname_r")))
-        .withColumn("exact", F.col("content_sha_l") == F.col("content_sha_r"))
-        .withColumn("minhash_sim", minhash_similarity("minhash_l", "minhash_r"))
+        .withColumn("exact", F.col("h8_l") == F.col("h8_r"))
+        .withColumn("minhash_sim", bbit_similarity("mh8_l", "mh8_r"))
         .withColumn(
             "content_est",
             F.when(F.col("exact"), F.lit(1.0)).otherwise(F.col("minhash_sim")),

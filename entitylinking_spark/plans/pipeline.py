@@ -40,6 +40,16 @@ class ERResult:
     scored_pairs: DataFrame       # SCORED_PAIRS schema
     keyed: DataFrame
     metrics: MetricsCollector = field(default_factory=MetricsCollector)
+    _persisted: list = field(default_factory=list)
+
+    def unpersist(self) -> None:
+        """Release every frame resolve() persisted (callers can't reach the
+        internal slim-keyed / rep_rows handles otherwise)."""
+        for df in self._persisted:
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
 
 
 def resolve(
@@ -54,6 +64,7 @@ def resolve(
     spark = spark or repo_files.sparkSession
     store = CheckpointStore(checkpoint_dir, spark)
     m = MetricsCollector()
+    persisted: list[DataFrame] = []
 
     keyed_full = store.get_or_compute(
         "keyed", lambda: with_keys(repo_files, cfg, id_col=id_col)
@@ -70,6 +81,7 @@ def resolve(
         # job would each recompute the MinHash UDF before the cache fills.
         keyed = keyed.persist()
         keyed.count()
+        persisted.append(keyed)
     content_df = keyed_full.select("row_id", "content")
 
     # ---- exact-duplicate fast path (sha grouping; no pairs generated) ----
@@ -86,6 +98,7 @@ def resolve(
     )
     if not store.enabled:
         rep_rows = rep_rows.persist()  # scanned by blocks + census + 2 feature joins
+        persisted.append(rep_rows)
 
     # ---- blocking + census + salted pair join over representatives ------
     blocks = store.get_or_compute("blocks", lambda: block_candidates(rep_rows, cfg))
@@ -99,6 +112,7 @@ def resolve(
     )
     if not store.enabled:
         scored = scored.persist()
+        persisted.append(scored)
     if collect_metrics:
         m.record("pairs_scored", n_pairs=scored.count(), **m.partition_sizes(scored))
 
@@ -121,4 +135,5 @@ def resolve(
         m.record("clusters", n_rows=clusters.count(),
                  n_clusters=clusters.select("cluster_id").distinct().count())
 
-    return ERResult(clusters=clusters, scored_pairs=scored, keyed=keyed_full, metrics=m)
+    return ERResult(clusters=clusters, scored_pairs=scored, keyed=keyed_full,
+                    metrics=m, _persisted=persisted)

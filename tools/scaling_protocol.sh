@@ -5,8 +5,9 @@
 set -u
 OUT=.bench_cache/scaling_results.jsonl
 : > "$OUT"
+ROWS="${SCALING_ROWS:-500000}"
 for cpus in 32 8; do
-  echo "--- cpus=$cpus $(date +%H:%M:%S)" >&2
-  python tools/scaling_run.py --cpus $cpus --rows 200000 --reps 3 2>/dev/null | tail -1 >> "$OUT"
+  echo "--- cpus=$cpus rows=$ROWS $(date +%H:%M:%S)" >&2
+  python tools/scaling_run.py --cpus $cpus --rows "$ROWS" --reps 3 2>/dev/null | tail -1 >> "$OUT"
 done
 echo DONE >&2

@@ -60,8 +60,10 @@ def main():
     from entitylinking_spark.plans.pipeline import resolve
     from entitylinking_spark.session import get_spark
 
+    # identical config at both parallelism levels (only the core count
+    # varies) — per the BASELINE.md protocol
     spark = get_spark(app_name=f"scaling-{args.cpus}", cores=args.cpus,
-                      shuffle_partitions=max(args.cpus * 2, 16))
+                      shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(path)
 
@@ -71,8 +73,7 @@ def main():
         n_pairs = res.scored_pairs.count()
         n_rows = res.clusters.count()
         dt = time.time() - t0
-        res.scored_pairs.unpersist()
-        res.keyed.unpersist()
+        res.unpersist()
         return dt, n_pairs, n_rows
 
     warmup_s, n_pairs, n_rows = one_run()
