@@ -58,9 +58,13 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
                    rows_per_band=num_perm // num_bands, block_cap=block_cap,
                    tau=threshold)
     mh = make_minhash_udf(num_perm)
+    # persist + materialize: the plan references this frame in several
+    # branches (bands l/r, census, sig joins); unpersisted, Catalyst
+    # duplicates the ArrowEvalPython node ~8x (seen in .explain)
     keyed = docs.select(
         F.col(id_col).cast("string").alias("row_id"), F.col(text_col).alias("text")
-    ).withColumn("minhash", mh("text"))
+    ).withColumn("minhash", mh("text")).persist()
+    keyed.count()
     blocks = keyed.select(
         "row_id",
         F.explode(
@@ -97,7 +101,8 @@ def dedup_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     sh = make_simhash_udf()
     keyed = docs.select(
         F.col(id_col).cast("string").alias("row_id"), F.col(text_col).alias("text")
-    ).withColumn("fp", sh("text"))
+    ).withColumn("fp", sh("text")).persist()
+    keyed.count()
     segments = [
         F.concat_ws(
             ":",
