@@ -664,18 +664,25 @@ WHERE source NOT IN ('synthetic_a') GROUP BY source ORDER BY source
 
 
 def a2_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 point2list-style regroup: deterministic sorted collect per group."""
+    """A2 point2list-style regroup: deterministic sorted collect per group.
+
+    The collected set is emitted as a joined string (not array<string>): the
+    driver's canonicalizer sorts output columns with pandas, which cannot
+    hash list-typed cells (round-1 red row)."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.groupBy("lang")
-        .agg(F.sort_array(F.collect_set("source")).alias("sources"),
-             F.count("*").alias("n_docs"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias("sources"),
+            F.count("*").alias("n_docs"),
+        )
         .orderBy("lang")
     )
 
 
 A2_SQL = """
-SELECT lang, list_sort(list(DISTINCT source)) AS sources, COUNT(*) AS n_docs
+SELECT lang, array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+       COUNT(*) AS n_docs
 FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -883,20 +890,55 @@ def bt_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_experiments(exps, "bradley_terry")
 
 
-def media_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: documents bytes as fake media payloads."""
-    from entitylinking_spark.operators.multimodal import extract_features
-
-    d = _t(spark, sf_dir, "documents").limit(200)
-    media = d.select(
+def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents bytes shaped as fake media payloads (shared by the two
+    media queries; the SQL twin is _MEDIA_CTE)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
         F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.lit(None).cast(
             "struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>"
         ).alias("meta"),
+        F.col("doc_id"),
     )
-    return extract_features(media, dim=8)
+
+
+def media_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing incl. the (stubbed) decode: feature array emitted
+    as a fixed-precision string so the driver canonicalizer can sort it
+    (round-1 red row was `unhashable type: 'list'`)."""
+    from entitylinking_spark.operators.multimodal import extract_features
+
+    media = _media_table(spark, sf_dir).filter(F.col("doc_id") < 200).drop("doc_id")
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "payload_sha",
+        F.array_join(
+            F.transform("feature", lambda x: F.format_string("%.4f", x)), ","
+        ).alias("feature_str"),
+    )
+
+
+def media_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked half of the multimodal plumbing: byte counts + payload
+    sha256 computed THROUGH the mapInPandas decode path (multimodal.py),
+    which DuckDB can verify independently from the raw text."""
+    from entitylinking_spark.operators.multimodal import extract_features
+
+    media = _media_table(spark, sf_dir).drop("doc_id")
+    feats = extract_features(media, dim=4)
+    return feats.select("media_id", "kind", "n_bytes", "payload_sha").orderBy("media_id")
+
+
+MEDIA_AUDIT_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha
+FROM documents ORDER BY media_id
+"""
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -944,6 +986,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "t2_boosted_topk": (t2_boosted_topk, T2_SQL),
     "x4_cut_context": (x4_cut_context, X4_SQL),
     "dedup_ngram_jaccard_docs": (dedup_ngram_jaccard_docs, NGRAM_SQL),
+    "media_payload_audit": (media_payload_audit, MEDIA_AUDIT_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {

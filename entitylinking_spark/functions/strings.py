@@ -58,6 +58,29 @@ def levenshtein_sim(a: str | Column, b: str | Column) -> Column:
     )
 
 
+def ngram_set(text_col: str | Column, n: int) -> Column:
+    """Distinct token n-gram set of a string (JVM-native). n<=1 -> distinct
+    tokens. The exact-verification space for MinHash candidates (shingle_k
+    in functions/hashing.py plays the approximate role of the same grams)."""
+    toks = tokenize(text_col)
+    if n <= 1:
+        return F.array_distinct(toks)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )),
+    ).otherwise(F.array_distinct(toks))
+
+
+def exact_jaccard(a: str | Column, b: str | Column) -> Column:
+    """Exact Jaccard of two array columns; empty-vs-empty counts as 1.0."""
+    inter = F.size(F.array_intersect(_c(a), _c(b))).cast("double")
+    union = F.size(F.array_union(_c(a), _c(b))).cast("double")
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
 def token_jaccard(a: str | Column, b: str | Column) -> Column:
     """Exact Jaccard over distinct word tokens of two strings (JVM-native, U4)."""
     ta = F.array_distinct(tokenize(a))

@@ -78,21 +78,28 @@ def connected_components(
     """
     # Catalyst's Union constraint rewriting can hit "key not found: attr"
     # when both union branches share lineage (SPARK-known issue); constraint
-    # propagation buys nothing for this iterated plan — disable it here.
-    edges.sparkSession.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
-    sig = _signature(e)
-    for it in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new_sig = _signature(e2)
-        if on_iteration is not None:
-            on_iteration(it, new_sig[0])
-        e.unpersist()
-        e = e2
-        if new_sig == sig:
-            break
-        sig = new_sig
+    # propagation buys nothing for this iterated plan — disable it for the
+    # loop only and RESTORE the caller's setting afterwards (a permanent
+    # session-wide mutation would silently change unrelated queries).
+    conf = edges.sparkSession.conf
+    prev_cp = conf.get("spark.sql.constraintPropagation.enabled", "true")
+    conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try:
+        e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+        e = e.localCheckpoint(eager=True)
+        sig = _signature(e)
+        for it in range(max_iter):
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            new_sig = _signature(e2)
+            if on_iteration is not None:
+                on_iteration(it, new_sig[0])
+            e.unpersist()
+            e = e2
+            if new_sig == sig:
+                break
+            sig = new_sig
+    finally:
+        conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
 
     # final edges: (node -> component min) stars; label every endpoint
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -110,4 +117,10 @@ def connected_components(
             .join(labels, "row_id", "left")
             .withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col("row_id")))
         )
+    # materialize the (small) label table and release the final edge frame:
+    # callers get a lineage-truncated result and can safely unpersist/drop
+    # their inputs (round-1 verdict: dedup ops leaked cached frames because
+    # the lazy result pinned them)
+    labels = labels.localCheckpoint(eager=True)
+    e.unpersist()
     return labels

@@ -86,3 +86,18 @@ def test_star_collapse_iterations_bounded(spark):
     edges = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
     got = _run(spark, edges, ids)
     assert set(got.values()) == {"d0"}
+
+
+def test_conf_restored_after_cc(spark):
+    """connected_components must not permanently mutate session config
+    (round-1 advice: constraintPropagation was disabled for the whole
+    session)."""
+    key = "spark.sql.constraintPropagation.enabled"
+    spark.conf.set(key, "true")
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    connected_components(edges).collect()
+    assert spark.conf.get(key) == "true"
+    spark.conf.set(key, "false")
+    connected_components(edges).collect()
+    assert spark.conf.get(key) == "false"
+    spark.conf.set(key, "true")

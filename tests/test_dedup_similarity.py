@@ -54,11 +54,55 @@ def test_dedup_simhash(spark):
 
 
 def test_ngram_jaccard_pairs(spark):
+    corpus = _corpus(spark).withColumn("grp", F.lit("g0"))
     got = {(r["id_l"], r["id_r"]): r["jaccard"]
-           for r in ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()}
+           for r in ngram_jaccard_pairs(corpus, block_cols=["grp"], threshold=0.5).collect()}
     assert got[("1", "2")] == pytest.approx(1.0)
     assert ("1", "3") in got and got[("1", "3")] > 0.8
     assert all(not (a == "4" or b == "4") for a, b in got)
+
+
+def test_ngram_jaccard_rejects_unblocked(spark):
+    with pytest.raises(ValueError, match="block_cols"):
+        ngram_jaccard_pairs(_corpus(spark))
+
+
+def test_ngram_jaccard_salted_matches_plain_join(spark):
+    """Routing through candidate_pairs (cap/triangle-salt) must find exactly
+    the pairs a plain blocked self-join finds — tiny cap forces salting."""
+    corpus = _corpus(spark).withColumn("grp", F.lit("g0"))
+    plain = {(r["id_l"], r["id_r"]): round(r["jaccard"], 9)
+             for r in ngram_jaccard_pairs(corpus, block_cols=["grp"],
+                                          threshold=0.1, block_cap=500).collect()}
+    salted = {(r["id_l"], r["id_r"]): round(r["jaccard"], 9)
+              for r in ngram_jaccard_pairs(corpus, block_cols=["grp"],
+                                           threshold=0.1, block_cap=2).collect()}
+    assert plain == salted and plain
+
+
+def test_dedup_releases_cached_frames(spark):
+    """Round-1 verdict: dedup ops persisted the keyed signature frame with
+    no unpersist handle. They now materialize via localCheckpoint and
+    release the cache before returning."""
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    cache_mgr.clearCache()
+    out1 = dedup_minhash_lsh(_corpus(spark), threshold=0.6)
+    out2 = dedup_simhash(_corpus(spark), radius=3)
+    assert out1.count() == 5 and out2.count() == 5
+    # the keyed signature frames were persist()ed through the Dataset cache
+    # manager; both must be released by the time the call returns
+    # (localCheckpoint artifacts live outside the cache manager and are
+    # GC-cleaned by the ContextCleaner)
+    assert cache_mgr.isEmpty()
+
+
+def test_dedup_verified_mode(spark):
+    """verify_ngram: keep decision on exact n-gram Jaccard, not the sketch."""
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_minhash_lsh(_corpus(spark), threshold=0.6,
+                                      verify_ngram=3).collect()}
+    assert out["1"] == out["2"] == out["3"]
+    assert out["4"] != out["1"] and out["5"] != out["1"]
 
 
 def _embeddings(spark):
