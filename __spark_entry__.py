@@ -835,40 +835,262 @@ ORDER BY id_l, id_r
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible: sketches, EM, full ER pipeline)
+# sketch / EM / pipeline queries with constructed-duplicate oracles
+#
+# The raw `documents` table has no near-duplicates, so the dedup/ER queries
+# run over an AUGMENTED corpus both engines construct identically: each
+# doc_id % 3 == 0 gets a near-copy (+3 tokens), % 6 == 0 a second-degree
+# copy (+5 tokens, chained similarity), % 5 == 0 a copy whose DISTINCT
+# token set is unchanged (first token repeated). Ids are zero-padded so
+# string MIN == numeric MIN. Cluster oracles are exact-similarity edges +
+# a recursive-CTE transitive closure in DuckDB.
 # ---------------------------------------------------------------------------
+
+_AUG_SQL = """
+aug AS (
+  SELECT printf('d%08d', doc_id) AS doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT printf('d%08d', doc_id + 100000), text || ' quality metric signal', lang, source
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT printf('d%08d', doc_id + 200000), text || ' quality metric signal extra margin', lang, source
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT printf('d%08d', doc_id + 300000), text || ' ' || split_part(text, ' ', 1), lang, source
+  FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+# token trigram list per augmented doc (matches functions/strings.ngram_set)
+_GRAMS_SQL = """
+grams AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+              ELSE list_distinct(toks) END AS g
+  FROM (SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                           t -> t <> '') AS toks
+        FROM aug)
+)
+"""
+
+# recursive min-label propagation over symmetric `edges(a,b)` + node set
+_CC_SQL = """
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT doc_id AS id, doc_id AS comp FROM aug
+  UNION
+  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id
+)
+SELECT id AS {id_name}, MIN(comp) AS cluster_id FROM reach GROUP BY id
+ORDER BY {id_name}
+"""
+
+_JACCARD_SQL = (
+    "CASE WHEN len(list_distinct(l.g || r.g)) = 0 THEN 1.0 "
+    "ELSE CAST(len(list_intersect(l.g, r.g)) AS DOUBLE) "
+    "/ len(list_distinct(l.g || r.g)) END"
+)
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _AUG_SQL."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    pid = lambda shift: F.format_string("d%08d", F.col("doc_id") + F.lit(shift))  # noqa: E731
+    base = d.select(pid(0).alias("doc_id"), "text", "lang", "source")
+    c1 = d.filter(F.col("doc_id") % 3 == 0).select(
+        pid(100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" quality metric signal")).alias("text"),
+        "lang", "source",
+    )
+    c2 = d.filter(F.col("doc_id") % 6 == 0).select(
+        pid(200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" quality metric signal extra margin")).alias("text"),
+        "lang", "source",
+    )
+    c3 = d.filter(F.col("doc_id") % 5 == 0).select(
+        pid(300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" "), F.element_at(F.split(F.col("text"), " "), 1)).alias("text"),
+        "lang", "source",
+    )
+    return base.unionByName(c1).unionByName(c2).unionByName(c3)
 
 
 def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship ER pipeline over repo_files shaped from documents."""
+    """Flagship ER pipeline (blocking -> salted pairs -> prescreen -> exact
+    trigram-Jaccard verify -> CC) over repo_files shaped from the augmented
+    documents. Config pins the decision to pure content similarity
+    (w_name=0, verify_ngram=3), which the DuckDB oracle recomputes exactly;
+    candidate recall is structural (every same-lang pair shares the
+    path-stem block at this scale, and planted pairs sit at J>=0.8 where
+    16x4 LSH band recall is ~1-1e-8)."""
     from entitylinking_spark.operators.blocking import ERConfig
     from entitylinking_spark.plans.pipeline import resolve
     from entitylinking_spark.synthdata import repo_files_from_documents
 
-    repo_files = repo_files_from_documents(_t(spark, sf_dir, "documents"))
-    return resolve(repo_files, ERConfig(), id_col="row_id", collect_metrics=False).clusters
+    aug = _augmented_docs(spark, sf_dir).withColumn(
+        "doc_id", F.regexp_replace("doc_id", "^d", "").cast("long")
+    )
+    repo_files = repo_files_from_documents(aug)
+    cfg = ERConfig(w_name=0.0, w_content=1.0, verify_ngram=3)
+    res = resolve(repo_files, cfg, id_col="row_id", collect_metrics=False)
+    return res.clusters.orderBy("row_id")
+
+
+ER_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _AUG_SQL.strip().rstrip()
+    + ", "
+    + _GRAMS_SQL.strip()
+    + f""",
+edges AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM grams l JOIN grams r ON l.lang = r.lang AND l.doc_id < r.doc_id
+  WHERE {_JACCARD_SQL} >= 0.6
+),
+"""
+    + _CC_SQL.format(id_name="row_id")
+)
 
 
 def dedup_minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH dedup in VERIFIED mode: LSH (32 bands x 2 rows) generates
+    candidates, the keep decision is exact token-trigram Jaccard >= 0.6 —
+    so the DuckDB all-pairs oracle is exact given candidate recall (planted
+    pairs sit at J >= 0.8: per-pair miss probability < 1e-14)."""
     from entitylinking_spark.operators.dedup import dedup_minhash_lsh
 
-    return dedup_minhash_lsh(_t(spark, sf_dir, "documents"), threshold=0.7)
+    return dedup_minhash_lsh(
+        _augmented_docs(spark, sf_dir), threshold=0.6, num_bands=32,
+        verify_ngram=3,
+    ).orderBy("doc_id")
+
+
+DEDUP_MINHASH_SQL = (
+    "WITH RECURSIVE "
+    + _AUG_SQL.strip()
+    + ", "
+    + _GRAMS_SQL.strip()
+    + f""",
+edges AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM grams l JOIN grams r ON l.doc_id < r.doc_id
+  WHERE {_JACCARD_SQL} >= 0.6
+),
+"""
+    + _CC_SQL.format(id_name="doc_id")
+)
+
+
+def x9_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 full BM25 (tf/df/avgdl Okapi scoring, operators/bm25.py) top-10
+    for a fixed query over the documents corpus."""
+    from entitylinking_spark.operators.bm25 import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_topk(d, ["spark", "table", "scan", "data"], top_k=10)
+    return out.select(
+        "doc_id", "rank", F.round("score", 6).alias("score_r")
+    ).orderBy("rank")
+
+
+X9_BM25_SQL = """
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                             x -> x <> '') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE)/COUNT(*) AS avgdl FROM dl),
+posts AS (
+  SELECT doc_id, tok, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  WHERE tok IN ('data', 'scan', 'spark', 'table')
+  GROUP BY doc_id, tok
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM posts GROUP BY tok),
+scored AS (
+  SELECT p.doc_id,
+         SUM(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5))
+             * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+  FROM posts p JOIN dfreq USING (tok) JOIN dl ON p.doc_id = dl.doc_id CROSS JOIN stats
+  GROUP BY p.doc_id
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, ROUND(score, 6) AS score_r FROM (
+  SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY rank
+"""
+
+
+# 60-bit md5-derived hash of a token/gram string (functions/relhash.md5_hash60)
+_H60_SQL = (
+    "list_sum(list_transform(range(15), i -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1)"
+    " * (1::BIGINT << (4*(14-i)))))"
+)
 
 
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash dedup with the md5-derived RELATIONAL fingerprint
+    (functions/relhash.py): DuckDB recomputes the exact same 60-bit
+    fingerprints, and the pigeonhole segment blocking has guaranteed recall
+    for hamming <= radius, so cluster parity is exact by construction."""
+    from entitylinking_spark.functions.relhash import simhash_relational
     from entitylinking_spark.operators.dedup import dedup_simhash
 
-    return dedup_simhash(_t(spark, sf_dir, "documents"), radius=3)
+    aug = _augmented_docs(spark, sf_dir)
+    fps = simhash_relational(aug, id_col="doc_id", text_col="text")
+    return dedup_simhash(aug, radius=3, fingerprints=fps, bits=60).orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SQL = (
+    "WITH RECURSIVE "
+    + _AUG_SQL.strip()
+    + f""",
+toks AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(
+      regexp_split_to_array(lower(text), '[^a-z0-9_]+'), t -> t <> ''))) AS tok
+  FROM aug
+),
+h AS (SELECT doc_id, {_H60_SQL.format(x='tok')} AS th FROM toks),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM h CROSS JOIN range(60) r(b) GROUP BY doc_id, b
+),
+fp0 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+  FROM bits GROUP BY doc_id
+),
+fp AS (
+  SELECT a.doc_id, COALESCE(fp0.fp, 0) AS fp FROM aug a LEFT JOIN fp0 USING (doc_id)
+),
+edges AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.fp, r.fp)) <= 3
+),
+"""
+    + _CC_SQL.format(id_name="doc_id")
+)
 
 
 def bt_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 Bradley-Terry EM over deterministic experiments derived from
-    orders: within each customer, higher-priced order 'beats' lower."""
+    """A8 Bradley-Terry EM, oracle-checked via a balanced design: per
+    customer, DISTINCT order priorities form a strict dominance order (by
+    max order price, tie-broken by priority name) and every ordered pair
+    plays exactly once. For a balanced round-robin the BT maximum-likelihood
+    ORDERING equals the win-count ordering, so the EM-fitted ranks must
+    reproduce the dominance order — which DuckDB computes directly."""
     from entitylinking_spark.operators.ranking import rank_experiments
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    ranked = o.withColumn("pos", F.row_number().over(w)).filter(F.col("pos") <= 4)
+    pr = o.groupBy("o_custkey", "o_orderpriority").agg(F.max("o_totalprice").alias("mx"))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("mx"), "o_orderpriority")
+    ranked = pr.withColumn("pos", F.row_number().over(w))
     l = ranked.select(
         F.col("o_custkey").alias("cust"), F.col("o_orderpriority").alias("win_p"),
         F.col("pos").alias("pos_l"),
@@ -887,7 +1109,31 @@ def bt_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(F.col("lose_p")).alias("losers"),
         )
     )
-    return rank_experiments(exps, "bradley_terry")
+    return (
+        rank_experiments(exps, "bradley_terry")
+        .select("mention_id", "entity_id", "rank")
+        .orderBy("mention_id", "rank")
+    )
+
+
+BT_RANK_SQL = """
+WITH pr AS (
+  SELECT o_custkey, o_orderpriority, MAX(o_totalprice) AS mx
+  FROM orders GROUP BY o_custkey, o_orderpriority
+),
+eligible AS (
+  SELECT o_custkey FROM pr GROUP BY o_custkey HAVING COUNT(*) >= 2
+),
+rk AS (
+  SELECT o_custkey, o_orderpriority,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY mx DESC, o_orderpriority) AS rank
+  FROM pr JOIN eligible USING (o_custkey)
+)
+SELECT 'c' || CAST(o_custkey AS VARCHAR) AS mention_id,
+       o_orderpriority AS entity_id, CAST(rank AS INT) AS rank
+FROM rk ORDER BY mention_id, rank
+"""
 
 
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,10 +1188,33 @@ FROM documents ORDER BY media_id
 
 
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from entitylinking_spark.operators.textstats import fingerprint_udf
+    """Winnowing fingerprints (Schleimer'03) in the relational md5-derived
+    form (functions/relhash.py) so DuckDB recomputes the exact values. The
+    one-pass Arrow variant (textstats.fingerprint_udf) is the scale path
+    and stays pytest-covered."""
+    from entitylinking_spark.functions.relhash import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", fingerprint_udf("text").alias("fingerprint"))
+    return winnow_fingerprints(d, id_col="doc_id", text_col="text",
+                               n=3, window=4).orderBy("doc_id")
+
+
+DOC_FP_SQL = (
+    "WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9_]+'), x -> x <> '') AS toks FROM documents),\n"
+    "g AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) "
+    "ELSE list_filter([array_to_string(toks, ' ')], s -> len(s) > 0) END AS grams FROM t),\n"
+    "e AS (SELECT doc_id, len(grams) AS n, generate_subscripts(grams, 1) - 1 AS pos, "
+    "unnest(grams) AS gram FROM g),\n"
+    f"h AS (SELECT doc_id, n, pos, {_H60_SQL.format(x='gram')} AS gh FROM e),\n"
+    "p AS (SELECT doc_id, pos, n, MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos "
+    "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS win_min FROM h),\n"
+    "f AS (SELECT doc_id, array_to_string(list_sort(list(DISTINCT win_min)), ',') AS fingerprint "
+    "FROM p WHERE pos <= greatest(n - 4, 0) GROUP BY doc_id)\n"
+    "SELECT d.doc_id, COALESCE(f.fingerprint, '') AS fingerprint "
+    "FROM documents d LEFT JOIN f USING (doc_id) ORDER BY d.doc_id"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -987,15 +1256,19 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "x4_cut_context": (x4_cut_context, X4_SQL),
     "dedup_ngram_jaccard_docs": (dedup_ngram_jaccard_docs, NGRAM_SQL),
     "media_payload_audit": (media_payload_audit, MEDIA_AUDIT_SQL),
+    "x9_bm25_topk": (x9_bm25_topk, X9_BM25_SQL),
+    "er_clusters": (er_clusters, ER_CLUSTERS_SQL),
+    "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_SQL),
+    "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
+    "bt_rank_orders": (bt_rank_orders, BT_RANK_SQL),
+    "doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
 }
 
+# media_features_demo keeps the stubbed decode in the loop — the feature
+# values are not SQL-expressible, so it stays a rows-only smoke query (the
+# oracle-checked half of the same plumbing is media_payload_audit).
 _ROWS_ONLY: dict[str, Callable] = {
-    "er_clusters": er_clusters,
-    "dedup_minhash_docs": dedup_minhash_docs,
-    "dedup_simhash_docs": dedup_simhash_docs,
-    "bt_rank_orders": bt_rank_orders,
     "media_features_demo": media_features_demo,
-    "doc_fingerprints": doc_fingerprints,
 }
 
 

@@ -48,6 +48,11 @@ class ERConfig:
     w_name: float = 0.15
     w_content: float = 0.85
     verify_jaccard: bool = True   # exact token-Jaccard on survivors of a prescreen
+    # gram size for the exact verification space: 1 = distinct tokens (the
+    # round-1 behavior), 3 = token trigrams — the same space the MinHash
+    # shingles (shingle_k=3) estimate, which makes the prescreen estimate
+    # and the verified value commensurable
+    verify_ngram: int = 1
     prescreen_margin: float = 0.15
     extra: dict = field(default_factory=dict)
 

@@ -119,18 +119,29 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
 
 
 def dedup_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  radius: int = 3) -> DataFrame:
+                  radius: int = 3, fingerprints: DataFrame | None = None,
+                  bits: int = 64) -> DataFrame:
     """SimHash near-dup: pairs within hamming<=radius, then transitive
-    clusters. Blocking splits the 64-bit fingerprint into radius+1 segments:
-    by pigeonhole, any pair within `radius` agrees exactly on at least one
-    segment, so the segment equi-join has guaranteed recall."""
+    clusters. Blocking splits the `bits`-bit fingerprint into radius+1
+    segments: by pigeonhole, any pair within `radius` agrees exactly on at
+    least one segment, so the segment equi-join has guaranteed recall.
+
+    fingerprints: optional (id_col, fp) frame replacing the Arrow simhash
+    UDF — e.g. functions/relhash.simhash_relational (60-bit, md5-derived),
+    whose values a DuckDB oracle can recompute; pass bits=60 with it.
+    """
     n_seg = min(radius + 1, 16)
-    widths = [64 // n_seg + (1 if i < 64 % n_seg else 0) for i in range(n_seg)]
+    widths = [bits // n_seg + (1 if i < bits % n_seg else 0) for i in range(n_seg)]
     offsets = [sum(widths[:i]) for i in range(n_seg)]
-    sh = make_simhash_udf()
-    keyed = docs.select(
-        F.col(id_col).cast("string").alias("row_id"), F.col(text_col).alias("text")
-    ).withColumn("fp", sh("text")).persist()
+    if fingerprints is not None:
+        keyed = fingerprints.select(
+            F.col(id_col).cast("string").alias("row_id"), F.col("fp")
+        ).persist()
+    else:
+        sh = make_simhash_udf()
+        keyed = docs.select(
+            F.col(id_col).cast("string").alias("row_id"), F.col(text_col).alias("text")
+        ).withColumn("fp", sh("text")).persist()
     keyed.count()
     segments = [
         F.concat_ws(

@@ -190,9 +190,19 @@ def fit_plackett_luce(experiments, max_iter: int = 100, tol: float = 1e-6):
 
 
 def fit_davidson(experiments, max_iter: int = 100, tol: float = 1e-6):
-    """Davidson (1970) model with ties. An entity appearing in BOTH the
-    winner and loser list of one experiment counts as a tie with every
-    opponent of that experiment; otherwise wins count as in Bradley-Terry.
+    """Davidson (1970, JASA 65:317) model with ties, solved by the paper's
+    fixed-point iteration of the ML equations:
+
+      P(i beats j) = p_i / D_ij,  P(tie) = nu*sqrt(p_i p_j) / D_ij,
+      D_ij = p_i + p_j + nu*sqrt(p_i p_j)
+
+      p_i  <- (w_i + t_i/2) / sum_j n_ij (1 + (nu/2) sqrt(p_j/p_i)) / D_ij
+      nu   <- T / sum_{i<j} n_ij sqrt(p_i p_j) / D_ij      (T = total ties,
+              denominator over ALL comparisons, win or tie)
+
+    An entity appearing in BOTH the winner and loser list of one experiment
+    counts as a tie with every opponent of that experiment; otherwise wins
+    count as in Bradley-Terry.
     """
     wins: dict[tuple[str, str], float] = defaultdict(float)
     ties: dict[tuple[str, str], float] = defaultdict(float)
@@ -217,18 +227,20 @@ def fit_davidson(experiments, max_iter: int = 100, tol: float = 1e-6):
         return {}
     idx = {e: i for i, e in enumerate(items)}
     p = np.ones(n)
-    nu = 0.5
+    nu = 1.0
+    total_ties = sum(ties.values())
     for _ in range(max_iter):
-        num = np.full(n, 1e-9)
+        num = np.full(n, 1e-9)     # w_i + t_i/2
         den = np.full(n, 1e-12)
-        tie_num, tie_den = 1e-9, 1e-12
+        nu_den = 1e-12             # sum n_ij sqrt(p_i p_j)/D over ALL pairs
         for (a, b), c in wins.items():
             i, j = idx[a], idx[b]
-            d = p[i] + p[j] + nu * np.sqrt(p[i] * p[j])
+            g = np.sqrt(p[i] * p[j])
+            d = p[i] + p[j] + nu * g
             num[i] += c
-            # dL/dp terms approximated by the MM-style ratio update
             den[i] += c * (1 + 0.5 * nu * np.sqrt(p[j] / max(p[i], 1e-12))) / d
             den[j] += c * (1 + 0.5 * nu * np.sqrt(p[i] / max(p[j], 1e-12))) / d
+            nu_den += c * g / d
         for (a, b), c in ties.items():
             i, j = idx[a], idx[b]
             g = np.sqrt(p[i] * p[j])
@@ -237,15 +249,14 @@ def fit_davidson(experiments, max_iter: int = 100, tol: float = 1e-6):
             num[j] += 0.5 * c
             den[i] += c * (1 + 0.5 * nu * np.sqrt(p[j] / max(p[i], 1e-12))) / d
             den[j] += c * (1 + 0.5 * nu * np.sqrt(p[i] / max(p[j], 1e-12))) / d
-            tie_num += c
-            tie_den += c * g / d
+            nu_den += c * g / d
         new_p = num / den
         new_p = new_p / new_p.sum() * n
-        nu = min(max(tie_num / tie_den / max(new_p.mean(), 1e-12) - 2.0, 0.0), 10.0) if tie_den > 1e-9 else nu
-        if np.max(np.abs(new_p - p)) < tol:
-            p = new_p
+        new_nu = total_ties / nu_den if total_ties > 0 else 0.0
+        converged = np.max(np.abs(new_p - p)) < tol and abs(new_nu - nu) < tol
+        p, nu = new_p, new_nu
+        if converged:
             break
-        p = new_p
     return dict(zip(items, p / p.sum()))
 
 

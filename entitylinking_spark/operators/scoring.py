@@ -30,7 +30,7 @@ from entitylinking_spark.functions.hashing import bbit_similarity, bbit_sketch
 from entitylinking_spark.functions.strings import (
     jaro_winkler_udf,
     levenshtein_sim,
-    tokenize,
+    ngram_set,
 )
 from entitylinking_spark.operators.blocking import ERConfig
 
@@ -102,7 +102,7 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
     if cfg.verify_jaccard:
         toks_src = content_df if content_df is not None else keyed
         toks = toks_src.select(
-            "row_id", F.array_distinct(tokenize(F.col("content"))).alias("ctoks")
+            "row_id", ngram_set(F.col("content"), cfg.verify_ngram).alias("ctoks")
         )
         tl = toks.select(F.col("row_id").alias("_tid_l"), F.col("ctoks").alias("ctoks_l"))
         tr = toks.select(F.col("row_id").alias("_tid_r"), F.col("ctoks").alias("ctoks_r"))
