@@ -922,10 +922,11 @@ def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship ER pipeline (blocking -> salted pairs -> prescreen -> exact
     trigram-Jaccard verify -> CC) over repo_files shaped from the augmented
     documents. Config pins the decision to pure content similarity
-    (w_name=0, verify_ngram=3), which the DuckDB oracle recomputes exactly;
-    candidate recall is structural (every same-lang pair shares the
-    path-stem block at this scale, and planted pairs sit at J>=0.8 where
-    16x4 LSH band recall is ~1-1e-8)."""
+    (w_name=0, verify_ngram=3), which the DuckDB oracle recomputes exactly.
+    Candidate recall: all docs share the path stem, so every pair gets both
+    the fine (16x4) and coarse (16x2) band channels; oracle edges sit at
+    trigram J >= 0.6875 (measured; largest NON-edge pair is J=0.086), where
+    the combined per-pair miss probability is ~6e-7."""
     from entitylinking_spark.operators.blocking import ERConfig
     from entitylinking_spark.plans.pipeline import resolve
     from entitylinking_spark.synthdata import repo_files_from_documents

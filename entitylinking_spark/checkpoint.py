@@ -45,13 +45,26 @@ class CheckpointStore:
     def enabled(self) -> bool:
         return self.root is not None
 
-    def is_complete(self, stage: str) -> bool:
+    def is_complete(self, stage: str, fingerprint: str | None = None) -> bool:
+        """Complete AND (when a fingerprint is given) written under the same
+        config/input fingerprint. A marker from a different fingerprint is
+        stale — round-1 advice: resume keyed on stage name alone silently
+        returned tables computed with a different ERConfig or input."""
         if self.iceberg_catalog:
             try:
                 return self.spark.catalog.tableExists(f"{self.iceberg_catalog}.{stage}")
             except Exception:
                 return False
-        return self.enabled and os.path.exists(self._marker(stage))
+        if not (self.enabled and os.path.exists(self._marker(stage))):
+            return False
+        if fingerprint is None:
+            return True
+        try:
+            with open(self._marker(stage)) as f:
+                meta = json.load(f)
+        except Exception:
+            return False
+        return meta.get("fingerprint") == fingerprint
 
     def write(self, stage: str, df: DataFrame, partition_by: list[str] | None = None,
               meta: dict | None = None) -> DataFrame:
@@ -86,13 +99,18 @@ class CheckpointStore:
         return self.spark.read.parquet(self._dir(stage))
 
     def get_or_compute(self, stage: str, compute, partition_by: list[str] | None = None,
-                       on_resume=None) -> DataFrame:
-        """Read the stage if complete, else compute() -> write -> re-read."""
-        if self.is_complete(stage):
+                       on_resume=None, fingerprint: str | None = None) -> DataFrame:
+        """Read the stage if complete (and fingerprint-matched), else
+        compute() -> write -> re-read. A stale stage (marker exists, wrong
+        fingerprint) is invalidated and recomputed."""
+        if self.is_complete(stage, fingerprint=fingerprint):
             if on_resume is not None:
                 on_resume(stage)
             return self.read(stage)
-        return self.write(stage, compute(), partition_by=partition_by)
+        if self.enabled and not self.iceberg_catalog and os.path.exists(self._marker(stage)):
+            self.invalidate(stage)
+        meta = {"fingerprint": fingerprint} if fingerprint is not None else None
+        return self.write(stage, compute(), partition_by=partition_by, meta=meta)
 
     def invalidate(self, stage: str) -> None:
         if not self.enabled or self.iceberg_catalog:

@@ -103,12 +103,27 @@ def _shingle_hashes(
     return vals, out_offsets
 
 
-def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3):
-    """Build a pandas UDF: content string -> array<long> MinHash signature."""
+def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3,
+                     blacklist: np.ndarray | None = None):
+    """Build a pandas UDF: content string -> array<long> MinHash signature.
+
+    blacklist: optional sorted uint64 array of SUPPRESSED shingle hashes
+    (corpus-frequency suppression — boilerplate like license headers that
+    would otherwise put a large slice of the corpus into the same LSH
+    bands; see blocking.shingle_blacklist). Suppressed shingles never enter
+    the signature, so boilerplate-only band collisions disappear at the
+    source instead of being stop-banded after the fact. A row whose
+    shingles are ALL suppressed keeps its original shingles (it *is*
+    boilerplate; leaving it empty would collide every such row into one
+    sentinel signature).
+    """
     if num_perm > _MAX_PERMS:
         raise ValueError(f"num_perm must be <= {_MAX_PERMS}")
     a = _PERM_A[:num_perm]
     b = _PERM_B[:num_perm]
+    bl = None
+    if blacklist is not None and len(blacklist):
+        bl = np.sort(np.asarray(blacklist, dtype=np.uint64))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def minhash(content: pd.Series) -> pd.Series:
@@ -118,15 +133,49 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 3):
         n_rows = len(offsets)
         if n_rows == 0:
             return pd.Series([], dtype=object)
+        mask = None
+        if bl is not None and base.size:
+            pos = np.searchsorted(bl, base)
+            pos_c = np.minimum(pos, bl.size - 1)
+            suppressed = bl[pos_c] == base
+            counts = np.diff(np.append(offsets, base.size))
+            kept = counts - np.add.reduceat(suppressed.astype(np.int64), offsets)
+            # rows losing every shingle keep their originals (see docstring)
+            all_gone = np.repeat(kept == 0, counts)
+            mask = ~suppressed | all_gone
         sig = np.empty((n_rows, num_perm), dtype=np.uint64)
         for p in range(num_perm):
             hashed = base * a[p] + b[p]  # wrapping uint64
+            if mask is not None:
+                hashed = np.where(mask, hashed, np.uint64(0xFFFFFFFFFFFFFFFF))
             sig[:, p] = np.minimum.reduceat(hashed, offsets)
         # store as int64 (same bits) for Spark LongType
         out = sig.view(np.int64)
         return pd.Series(list(out))
 
     return minhash
+
+
+def make_shingle_set_udf(shingle_k: int = 3):
+    """Pandas UDF: content -> array<long> of DISTINCT shingle hashes.
+
+    The census side of corpus-frequency suppression: exploded + counted to
+    get per-shingle document frequency (each doc contributes each shingle
+    once)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shingles(content: pd.Series) -> pd.Series:
+        filled = content.fillna("")
+        toks = filled.str.lower().str.findall(_TOKEN_RE)
+        base, offsets = _shingle_hashes(toks.tolist(), filled.tolist(), shingle_k)
+        bounds = np.append(offsets, base.size)
+        out = [
+            np.unique(base[bounds[i]:bounds[i + 1]]).view(np.int64)
+            for i in range(len(offsets))
+        ]
+        return pd.Series(out)
+
+    return shingles
 
 
 # Default instance used by the pipeline.

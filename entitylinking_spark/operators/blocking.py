@@ -23,7 +23,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from entitylinking_spark.functions.hashing import band_keys, make_minhash_udf
-from entitylinking_spark.functions.strings import tokenize
+from entitylinking_spark.functions.strings import ngram_set, tokenize
 
 
 @dataclass(frozen=True)
@@ -43,10 +43,36 @@ class ERConfig:
     # that score below tau anyway (measured: 2058-row band -> 2.1M of 3.2M
     # comparisons on the 5k-doc bench, 0 extra matches).
     skip_block_threshold: int = 2_000
+    # Name-channel gating (round-2 scaling fix #2): a same-stem pair only
+    # becomes a candidate if it ALSO shares one of `coarse_bands` permissive
+    # LSH bands of `coarse_rows` rows. Round-2 census at 200k rows: path
+    # blocks carried 9.3M of 9.7M pair mass, 96% junk (random same-stem
+    # files); the gate keeps name-channel recall >=99.5% at the lowest
+    # content similarity that can still reach tau (J_floor below) while
+    # killing the O(block^2) junk at the source.
+    coarse_bands: int = 16
+    coarse_rows: int = 2
+    # SOUND length prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) for the
+    # verify-space unit sets, and a pair needs J >= (tau-w_name)/w_content
+    # to reach tau even with a perfect name score — so pairs whose unit-
+    # count ratio is below that floor cannot match. None = derive from
+    # tau/w_name/w_content; 0 disables.
+    min_len_ratio: float | None = None
     # scoring (operators/scoring.py)
     tau: float = 0.60             # match threshold on blended score
     w_name: float = 0.15
     w_content: float = 0.85
+    # Corpus-frequency shingle suppression (round-2 scaling fix): shingles
+    # present in more than `suppress_shingle_df` of a deterministic
+    # `suppress_sample` of documents are dropped from MinHash signatures,
+    # so boilerplate (license headers, shared templates) stops generating
+    # band collisions AT THE SOURCE. Measured round 1: 83% of candidate
+    # pairs at 500k rows were boilerplate-band negatives scoring below tau.
+    # None disables. The min-df floor keeps tiny corpora/tests exact.
+    suppress_shingle_df: float | None = 0.02
+    suppress_sample: float = 0.05
+    suppress_min_df: int = 8
+    suppress_max_terms: int = 100_000
     verify_jaccard: bool = True   # exact token-Jaccard on survivors of a prescreen
     # gram size for the exact verification space: 1 = distinct tokens (the
     # round-1 behavior), 3 = token trigrams — the same space the MinHash
@@ -59,17 +85,70 @@ class ERConfig:
     def __post_init__(self):
         if self.num_bands * self.rows_per_band > self.num_perm:
             raise ValueError("num_bands*rows_per_band must be <= num_perm")
+        if self.coarse_bands * self.coarse_rows > self.num_perm:
+            raise ValueError("coarse_bands*coarse_rows must be <= num_perm")
+
+    @property
+    def len_ratio_floor(self) -> float:
+        """Effective length-ratio prune floor (see min_len_ratio)."""
+        if self.min_len_ratio is not None:
+            return self.min_len_ratio
+        if self.w_content <= 0:
+            return 0.0
+        return max(0.0, (self.tau - self.w_name) / self.w_content)
+
+
+def shingle_blacklist(repo_files: DataFrame, cfg: ERConfig = ERConfig(),
+                      text_col: str = "content"):
+    """High-document-frequency shingle hashes to suppress (numpy uint64).
+
+    One sampled census job: deterministic hash-based sample of documents
+    (xxhash64 of content — stable across runs/executors), distinct shingle
+    hashes per doc (Arrow pass), explode + count, keep hashes whose sampled
+    document frequency exceeds max(suppress_min_df,
+    suppress_shingle_df * sample_size). Bounded by suppress_max_terms
+    (highest-DF first) so the broadcast to the signature UDF stays small.
+    """
+    import numpy as np
+
+    from entitylinking_spark.functions.hashing import make_shingle_set_udf
+
+    if cfg.suppress_shingle_df is None:
+        return None
+    sample_pm = int(cfg.suppress_sample * 10_000)
+    sampled = repo_files.select(F.col(text_col)).filter(
+        F.pmod(F.xxhash64(F.col(text_col)), F.lit(10_000)) < sample_pm
+    )
+    shingle_udf = make_shingle_set_udf()
+    counted = (
+        sampled.select(F.explode(shingle_udf(F.col(text_col))).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").alias("df"))
+    )
+    n_sampled = sampled.count()
+    cutoff = max(cfg.suppress_min_df, int(cfg.suppress_shingle_df * n_sampled))
+    rows = (
+        counted.filter(F.col("df") > cutoff)
+        .orderBy(F.desc("df"), "sh")
+        .limit(cfg.suppress_max_terms)
+        .collect()
+    )
+    if not rows:
+        return None
+    return np.array([r["sh"] for r in rows], dtype=np.int64).view(np.uint64)
 
 
 def with_keys(repo_files: DataFrame, cfg: ERConfig = ERConfig(),
-              id_col: str | None = None) -> DataFrame:
+              id_col: str | None = None, blacklist=None) -> DataFrame:
     """repo_files -> keyed rows (row_id, content_sha, fname, tokens, minhash).
 
     `content_sha` is the per-row invariant (BASELINE.json input_hint): it is
     computed ONCE here from the raw content and carried untouched through
-    every later stage.
+    every later stage. `blacklist` (from shingle_blacklist) suppresses
+    boilerplate shingles in the MinHash signatures — content_sha and every
+    verification kernel still see the FULL content.
     """
-    minhash = make_minhash_udf(cfg.num_perm)
+    minhash = make_minhash_udf(cfg.num_perm, blacklist=blacklist)
     df = repo_files
     if id_col is not None:
         df = df.withColumn("row_id", F.col(id_col).cast("string"))
@@ -81,6 +160,11 @@ def with_keys(repo_files: DataFrame, cfg: ERConfig = ERConfig(),
     return (
         df.withColumn("content_sha", F.sha2(F.col("content"), 256))
         .withColumn("fname", F.element_at(F.split(F.col("path"), "/"), -1))
+        # distinct verify-space unit count: drives the sound length-ratio
+        # prune in candidate_pairs (J <= min/max of unit-set sizes)
+        .withColumn(
+            "n_units", F.size(ngram_set(F.col("content"), cfg.verify_ngram))
+        )
         .withColumn("minhash", minhash(F.col("content")))
     )
 
@@ -99,12 +183,27 @@ def path_stem(col) -> F.Column:
 
 
 def block_candidates(keyed: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
-    """keyed rows -> exploded (block_key, row_id) pairs.
+    """keyed rows -> exploded (block_key, row_id, n_units) rows.
 
     Exact duplicates are NOT blocked here — they take the sha fast path in
     the pipeline (group-by content_sha), so near-dup blocking only ever sees
     one representative per distinct content (massive pair-count reduction on
     corpora with heavy exact duplication).
+
+    Channels:
+      mh:{lang}:{band}:{key}            fine LSH bands (num_bands x
+                                        rows_per_band) — the ANN index
+      path:{lang}:{stem}:{band}:{key}   name channel GATED by permissive
+                                        coarse bands (coarse_bands x
+                                        coarse_rows): a same-stem pair must
+                                        also share one coarse band. Recall
+                                        at the lowest matchable content
+                                        similarity j: 1-(1-j^coarse_rows)^
+                                        coarse_bands (~99.5% at j=0.53 with
+                                        16x2); an UNgated stem key is an
+                                        O(block^2) junk-pair source — 96%
+                                        of all candidate pairs at 200k rows
+                                        (round-2 census).
     """
     mh_keys = F.transform(
         band_keys("minhash", cfg.num_bands, cfg.rows_per_band),
@@ -112,11 +211,18 @@ def block_candidates(keyed: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
             ":", F.lit("mh"), F.col("lang"), e["band"].cast("string"), e["key"].cast("string")
         ),
     )
-    name_key = F.concat_ws(":", F.lit("path"), F.col("lang"), path_stem(F.col("fname")))
-    all_keys = F.array_union(mh_keys, F.array(name_key))
-    return (
-        keyed.select("row_id", F.explode(all_keys).alias("block_key"))
+    stem = path_stem(F.col("fname"))
+    path_keys = F.transform(
+        band_keys("minhash", cfg.coarse_bands, cfg.coarse_rows),
+        lambda e: F.concat_ws(
+            ":", F.lit("path"), F.col("lang"), stem,
+            e["band"].cast("string"), e["key"].cast("string"),
+        ),
     )
+    all_keys = F.array_union(mh_keys, path_keys)
+    return keyed.select(
+        "row_id", "n_units", F.explode(all_keys).alias("block_key")
+    ).select("block_key", "row_id", "n_units")
 
 
 def block_census(blocks: DataFrame) -> DataFrame:

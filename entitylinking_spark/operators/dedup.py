@@ -64,17 +64,26 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     """
     cfg = ERConfig(num_perm=num_perm, num_bands=num_bands,
                    rows_per_band=num_perm // num_bands, block_cap=block_cap,
-                   tau=threshold)
+                   tau=threshold,
+                   # sound length prune only in verified mode: exact J <=
+                   # min/max of gram-set sizes, so ratio < threshold cannot
+                   # match; estimate mode keeps every banded candidate
+                   min_len_ratio=threshold if verify_ngram else 0.0)
     mh = make_minhash_udf(num_perm)
     # persist + materialize: the plan references this frame in several
     # branches (bands l/r, census, sig joins); unpersisted, Catalyst
     # duplicates the ArrowEvalPython node ~8x (seen in .explain)
     keyed = docs.select(
         F.col(id_col).cast("string").alias("row_id"), F.col(text_col).alias("text")
-    ).withColumn("minhash", mh("text")).persist()
+    ).withColumn("minhash", mh("text"))
+    if verify_ngram:
+        keyed = keyed.withColumn("n_units", F.size(ngram_set("text", verify_ngram)))
+    keyed = keyed.persist()
     keyed.count()
+    unit_cols = ["n_units"] if verify_ngram else []
     blocks = keyed.select(
         "row_id",
+        *unit_cols,
         F.explode(
             F.transform(
                 band_keys("minhash", cfg.num_bands, cfg.rows_per_band),

@@ -29,19 +29,38 @@ from entitylinking_spark.operators.blocking import ERConfig, block_census
 
 def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
                     census: DataFrame | None = None) -> DataFrame:
-    """(block_key,row_id) -> distinct (id_l, id_r, block_key) with id_l < id_r."""
+    """(block_key,row_id[,n_units]) -> distinct (id_l,id_r,block_key), id_l < id_r.
+
+    When the blocks frame carries `n_units` (distinct verify-space unit
+    count per row, from with_keys), pairs whose unit-count ratio is below
+    cfg.len_ratio_floor are dropped INSIDE the join, before the dedup
+    shuffle: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so such pairs provably
+    cannot reach tau — a sound prune, unlike the sketch prescreen.
+    """
+    has_units = "n_units" in blocks.columns
+    ratio = cfg.len_ratio_floor if has_units else 0.0
+    cols = ["block_key", "row_id"] + (["n_units"] if has_units else [])
+
+    def ratio_ok():
+        if ratio <= 0:
+            return F.lit(True)
+        lo = F.least(F.col("l.n_units"), F.col("r.n_units")).cast("double")
+        hi = F.greatest(F.col("l.n_units"), F.col("r.n_units")).cast("double")
+        return (hi <= 0) | (lo >= F.lit(ratio) * hi)
+
     if census is None:
-        census = block_census(blocks)
+        census = block_census(blocks.select("block_key", "row_id"))
     sized = blocks.join(census, "block_key").filter(
         (F.col("block_size") > 1) & (F.col("block_size") <= cfg.skip_block_threshold)
     )
 
-    small = sized.filter(F.col("block_size") <= cfg.block_cap).select("block_key", "row_id")
+    small = sized.filter(F.col("block_size") <= cfg.block_cap).select(*cols)
     l = small.alias("l")
     r = small.alias("r")
     small_pairs = (
         l.join(r, on="block_key")
         .filter(F.col("l.row_id") < F.col("r.row_id"))
+        .filter(ratio_ok())
         .select(
             F.col("l.row_id").alias("id_l"),
             F.col("r.row_id").alias("id_r"),
@@ -66,7 +85,7 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
                 ),
             )
         ),
-    ).select("block_key", "row_id", "salt", "grp")
+    ).select(*cols, "salt", "grp")
     hl = hot.alias("l")
     hr = hot.alias("r")
     hot_pairs = (
@@ -81,6 +100,7 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
                 (F.col("l.salt") == F.col("grp.v")) & (F.col("r.salt") == F.col("grp.u"))
             )
         )
+        .filter(ratio_ok())
         .select(
             F.col("l.row_id").alias("id_l"),
             F.col("r.row_id").alias("id_r"),

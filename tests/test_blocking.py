@@ -73,14 +73,22 @@ def test_blocking_recall_on_planted_pairs(spark):
     covered = {(r["id_l"], r["id_r"]) for r in b1.collect()}
     # exact duplicates co-block via content_sha fast path instead — exclude
     sha = {r["row_id"]: r["content_sha"] for r in keyed.select("row_id", "content_sha").collect()}
-    pos = fx.labeled_pairs[fx.labeled_pairs["is_match"]]
-    missed = [
-        (a, b) for a, b in zip(pos["id_l"], pos["id_r"])
-        if (a, b) not in covered and sha[a] != sha[b]
+    # ADJACENT chain pairs are what clustering needs directly (each member
+    # is mutated from the previous); distant intra-cluster pairs fall below
+    # the match threshold by construction and are closed by transitivity,
+    # so the gated name channel rightly does not co-block them.
+    members: dict[str, list[str]] = {}
+    for rid, cid in zip(fx.clusters["row_id"], fx.clusters["cluster_id"]):
+        members.setdefault(cid, []).append(rid)
+    adjacent = [
+        (m[i], m[i + 1])
+        for m in (sorted(v) for v in members.values())
+        for i in range(len(m) - 1)
     ]
-    # adjacent chain pairs must block; distant chain pairs may legitimately
-    # miss (transitivity closes them) — require >= 95% direct coverage
-    assert len(missed) <= 0.05 * len(pos), f"{len(missed)}/{len(pos)} missed"
+    missed = [
+        (a, b) for a, b in adjacent if (a, b) not in covered and sha[a] != sha[b]
+    ]
+    assert len(missed) <= 0.02 * len(adjacent), f"{len(missed)}/{len(adjacent)} missed"
 
 
 def test_census(spark):
@@ -88,3 +96,71 @@ def test_census(spark):
     blocks = spark.createDataFrame(rows, ["block_key", "row_id"])
     out = {r["block_key"]: r["block_size"] for r in block_census(blocks).collect()}
     assert out == {"k1": 2, "k2": 1}
+
+
+def test_shingle_suppression_removes_boilerplate_pairs(spark):
+    """Boilerplate-dominated corpus: every doc = the same 30-token header +
+    a few unique tokens. Without suppression the LSH bands are mostly
+    header-derived and nearly every doc pair becomes a candidate; with
+    suppression only the true near-dup pair survives blocking."""
+    from entitylinking_spark.operators.blocking import ERConfig, shingle_blacklist
+    from entitylinking_spark.plans.pipeline import resolve
+
+    header = " ".join(f"license{i} term{i}" for i in range(15))
+    rows = []
+    for i in range(120):
+        uniq = " ".join(f"body{i}x{j}" for j in range(6))
+        rows.append((f"r{i:04d}", "org/repo", f"src/f{i}.py", f"c{i}", "python",
+                     f"{header} {uniq}"))
+    # one true near-dup pair: identical bodies, one token changed
+    rows.append(("r9998", "org/repo", "src/dup_a.py", "ca", "python",
+                 f"{header} same body tokens here repeated alpha beta gamma"))
+    rows.append(("r9999", "org/repo", "src/dup_b.py", "cb", "python",
+                 f"{header} same body tokens here repeated alpha beta delta"))
+    df = spark.createDataFrame(
+        rows, ["row_id", "repo", "path", "commit", "lang", "content"]
+    )
+
+    cfg_off = ERConfig(suppress_shingle_df=None)
+    cfg_on = ERConfig(suppress_sample=1.0, suppress_min_df=4)
+
+    bl = shingle_blacklist(df, cfg_on)
+    assert bl is not None and len(bl) > 0  # the header shingles
+
+    res_off = resolve(df, cfg_off, id_col="row_id", collect_metrics=False)
+    res_on = resolve(df, cfg_on, id_col="row_id", collect_metrics=False)
+    pairs_off = res_off.scored_pairs.count()
+    pairs_on = res_on.scored_pairs.count()
+    c_on = {r["row_id"]: r["cluster_id"] for r in res_on.clusters.collect()}
+    res_off.unpersist()
+    res_on.unpersist()
+    assert pairs_on < pairs_off / 10      # boilerplate pairs gone at source
+    assert c_on["r9998"] == c_on["r9999"]  # the true near-dup pair survives
+    assert c_on["r0000"] != c_on["r0001"]  # header-only sharers do NOT merge
+
+
+def test_minhash_blacklist_only_changes_affected_docs(spark):
+    """Suppressing a shingle changes signatures only of docs containing it;
+    an all-suppressed doc falls back to its original signature."""
+    import numpy as np
+
+    from entitylinking_spark.functions.hashing import (
+        make_minhash_udf,
+        make_shingle_set_udf,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "alpha beta gamma")]  # exactly one shingle, shared with doc 1
+    df = spark.createDataFrame(rows, ["i", "content"])
+    sh = {r["i"]: r["s"] for r in df.select("i", make_shingle_set_udf()(F.col("content")).alias("s")).collect()}
+    target = np.array(sh[3], dtype=np.int64).view(np.uint64)  # doc 3's only shingle
+
+    plain = make_minhash_udf(8)
+    supp = make_minhash_udf(8, blacklist=target)
+    base = {r["i"]: tuple(r["m"]) for r in df.select("i", plain(F.col("content")).alias("m")).collect()}
+    after = {r["i"]: tuple(r["m"]) for r in df.select("i", supp(F.col("content")).alias("m")).collect()}
+    assert after[2] == base[2]            # untouched doc: identical signature
+    assert after[3] == base[3]            # all-suppressed doc: falls back
+    assert after[1] != base[1]            # partially-suppressed doc: changes

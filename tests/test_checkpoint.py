@@ -54,3 +54,38 @@ def test_invalidate(spark, tmp_path):
     store.write("s", spark.range(2))
     store.invalidate("s")
     assert not store.is_complete("s")
+
+
+def test_stale_checkpoint_invalidated_on_config_change(spark, tmp_path):
+    """Resume keys on a config/input fingerprint, not the stage name alone:
+    re-running with a different ERConfig recomputes instead of silently
+    returning stale stage tables (round-1 advice)."""
+    from entitylinking_spark.operators.blocking import ERConfig
+    from entitylinking_spark.plans.pipeline import resolve
+    from entitylinking_spark.synthdata import generate_repo_files
+
+    fx = generate_repo_files(60, seed=5)
+    df = spark.createDataFrame(fx.rows)
+    ckpt = str(tmp_path / "ckpt")
+
+    r1 = resolve(df, ERConfig(tau=0.6), id_col="row_id",
+                 checkpoint_dir=ckpt, collect_metrics=False)
+    n1 = r1.scored_pairs.count()
+    assert n1 >= 0
+
+    # tau=0.99: near-dup edges vanish -> different clusters REQUIRED; with
+    # name-only resume the old clusters table would be returned verbatim
+    r2 = resolve(df, ERConfig(tau=0.99), id_col="row_id",
+                 checkpoint_dir=ckpt, collect_metrics=False)
+    c2 = {r["row_id"]: r["cluster_id"] for r in r2.clusters.collect()}
+    truth_pairs = {(a, b) for a, b, _, m in fx.labeled_pairs.itertuples(index=False) if m}
+    # at tau=0.99 only exact duplicates may share a cluster; chain-mutated
+    # members must split -> at least one labeled positive pair separated
+    split = sum(1 for a, b in truth_pairs if c2.get(a) != c2.get(b))
+    assert split > 0
+
+    # and a THIRD run with the original config recomputes again (marker now
+    # carries the tau=0.99 fingerprint) and reproduces run 1
+    r3 = resolve(df, ERConfig(tau=0.6), id_col="row_id",
+                 checkpoint_dir=ckpt, collect_metrics=False)
+    assert r3.scored_pairs.count() == n1

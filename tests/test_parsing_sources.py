@@ -156,6 +156,30 @@ class TestReaders:
         assert r["label"] == "Universe"
         assert r["description"] == "everything"
         assert r["aliases"] == ["cosmos", "space"]
+        assert r["claims_related"] is None  # no claims in this fixture
+
+    def test_read_wikidata_claims(self, spark, tmp_path):
+        """Nested claims extraction mirrors the reference's BFS seed walk
+        (wikientities.py:27-38): mainsnak.datavalue.value.id per claim,
+        skipping non-entity datavalues."""
+        from entitylinking_spark.sources.readers import read_wikidata_entities
+        doc = {
+            "id": "Q2",
+            "labels": {"en": {"language": "en", "value": "Earth"}},
+            "claims": {
+                "P31": [
+                    {"mainsnak": {"datavalue": {"value": {"id": "Q3504248"}}}},
+                    {"mainsnak": {"datavalue": {"value": {"id": "Q128207"}}}},
+                ],
+                "P361": [{"mainsnak": {"datavalue": {"value": {"id": "Q104934"}}}}],
+                # string-valued claim: must be skipped (no entity id)
+                "P2067": [{"mainsnak": {"datavalue": {"value": "5.97e24 kg"}}}],
+            },
+        }
+        p = tmp_path / "q2.json"
+        p.write_text(json.dumps(doc))
+        out = read_wikidata_entities(spark, str(p)).collect()
+        assert out[0]["claims_related"] == ["Q104934", "Q128207", "Q3504248"]
 
     def test_merge_shards_first_seen(self, spark, tmp_path):
         s1 = tmp_path / "s1.jsonl"

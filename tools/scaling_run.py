@@ -83,6 +83,10 @@ def main():
         "cpus": args.cpus, "rows": n_rows, "pairs": n_pairs,
         "warmup_s": round(warmup_s, 2), "wall_s_reps": walls,
         "wall_s": med, "pairs_per_sec": round(n_pairs / med, 1),
+        # rows/sec is the scale-meaningful throughput: round 2 cut pair
+        # volume 34x on purpose, so pairs/sec alone is not comparable
+        # across rounds
+        "rows_per_sec": round(n_rows / med, 1),
     }))
     spark.stop()
 

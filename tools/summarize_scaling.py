@@ -25,6 +25,7 @@ def main():
             "wall_s_all": walls,
             "wall_s_median": statistics.median(walls),
             "pairs_per_sec_median": statistics.median(pps),
+            "rows_per_sec_median": round(rs[0]["rows"] / statistics.median(walls), 1),
             "pairs": rs[0]["pairs"],
             "rows": rs[0]["rows"],
         }
