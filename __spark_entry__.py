@@ -985,6 +985,51 @@ edges AS (
 )
 
 
+def a7_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 recall@1/5 + avg candidate count through operators/evaluation.
+    Candidate list per part = suppliers ordered by shipped quantity (desc,
+    suppkey); label = min suppkey (a member whose rank varies)."""
+    from entitylinking_spark.operators.evaluation import recall_at_k
+
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("q")
+    )
+    cands = per.groupBy("l_partkey").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct((-F.col("q")).alias("nq"),
+                                                 F.col("l_suppkey").alias("s")))),
+            lambda x: x["s"].cast("string"),
+        ).alias("candidates"),
+        F.min("l_suppkey").cast("string").alias("label_id"),
+    )
+    out = recall_at_k(cands, ks=[1, 5])
+    return out.select(
+        F.round("recall_at_1", 6).alias("recall_at_1"),
+        F.round("recall_at_5", 6).alias("recall_at_5"),
+        F.round("avg_candidates", 6).alias("avg_candidates"),
+    )
+
+
+A7_SQL = """
+WITH per AS (
+  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+c AS (
+  SELECT l_partkey,
+         list(CAST(l_suppkey AS VARCHAR) ORDER BY q DESC, l_suppkey) AS cands,
+         CAST(MIN(l_suppkey) AS VARCHAR) AS label
+  FROM per GROUP BY l_partkey
+),
+h AS (SELECT len(cands) AS n, COALESCE(list_position(cands, label), 0) AS fh FROM c)
+SELECT ROUND(AVG(CASE WHEN fh BETWEEN 1 AND 1 THEN 1.0 ELSE 0.0 END), 6) AS recall_at_1,
+       ROUND(AVG(CASE WHEN fh BETWEEN 1 AND 5 THEN 1.0 ELSE 0.0 END), 6) AS recall_at_5,
+       ROUND(AVG(CAST(n AS DOUBLE)), 6) AS avg_candidates
+FROM h
+"""
+
+
 def x9_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9 full BM25 (tf/df/avgdl Okapi scoring, operators/bm25.py) top-10
     for a fixed query over the documents corpus."""
@@ -1258,6 +1303,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "dedup_ngram_jaccard_docs": (dedup_ngram_jaccard_docs, NGRAM_SQL),
     "media_payload_audit": (media_payload_audit, MEDIA_AUDIT_SQL),
     "x9_bm25_topk": (x9_bm25_topk, X9_BM25_SQL),
+    "a7_recall_at_k": (a7_recall_at_k, A7_SQL),
     "er_clusters": (er_clusters, ER_CLUSTERS_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_SQL),
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),

@@ -97,6 +97,7 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
     timed("q1", lambda: qs["q1_pricing_summary"](spark, sf_dir).count())
     timed("j2", lambda: qs["j2_composite_key_join"](spark, sf_dir).count())
     timed("t1", lambda: qs["t1_topk_window"](spark, sf_dir).count())
+    timed("bm25", lambda: qs["x9_bm25_topk"](spark, sf_dir).count())
 
     # --- similarity ---------------------------------------------------------
     def sim():

@@ -205,19 +205,20 @@ def block_candidates(keyed: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
                                         of all candidate pairs at 200k rows
                                         (round-2 census).
     """
+    # Block keys are 64-bit hashes, not strings: the block self-join and the
+    # (id_l,id_r) dedup are the two biggest shuffles in the pipeline, and an
+    # 8-byte key vs a ~40-char string cuts their payload severalfold. The
+    # channel/lang/band are folded into the hash (xxhash64 is seeded per
+    # channel literal, so mh/path keys can never collide by construction
+    # beyond the 2^-64 hash floor).
     mh_keys = F.transform(
         band_keys("minhash", cfg.num_bands, cfg.rows_per_band),
-        lambda e: F.concat_ws(
-            ":", F.lit("mh"), F.col("lang"), e["band"].cast("string"), e["key"].cast("string")
-        ),
+        lambda e: F.xxhash64(F.lit("mh"), F.col("lang"), e["band"], e["key"]),
     )
     stem = path_stem(F.col("fname"))
     path_keys = F.transform(
         band_keys("minhash", cfg.coarse_bands, cfg.coarse_rows),
-        lambda e: F.concat_ws(
-            ":", F.lit("path"), F.col("lang"), stem,
-            e["band"].cast("string"), e["key"].cast("string"),
-        ),
+        lambda e: F.xxhash64(F.lit("path"), F.col("lang"), stem, e["band"], e["key"]),
     )
     all_keys = F.array_union(mh_keys, path_keys)
     return keyed.select(

@@ -59,6 +59,22 @@ def first_seen_dedupe(df: DataFrame, key_col: str, arrival_col: str) -> DataFram
     return tie_break_first(df, key_col, [F.col(arrival_col).asc()])
 
 
+def seeded_sample(df: DataFrame, group_col: str, n: int, key_cols: list[str],
+                  seed: int = 42) -> DataFrame:
+    """X20: deterministic per-group subset of n rows (the reference's
+    `random.sample(d, p)` over experiments — Sparkle/algorithms.py:285-288,
+    made reproducible). Ordering by a seeded hash of the key columns is
+    stable across partitioning/retries, unlike rand()."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.xxhash64(*[F.col(c) for c in key_cols], F.lit(seed))
+    )
+    return (
+        df.withColumn("_sr", F.row_number().over(w))
+        .filter(F.col("_sr") <= n)
+        .drop("_sr")
+    )
+
+
 def confidence_weighted_aggregation(df: DataFrame, cand_col: str = "candidate_id",
                                     score_col: str = "score",
                                     conf_col: str = "confidence") -> DataFrame:

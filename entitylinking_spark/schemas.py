@@ -40,7 +40,9 @@ SCORED_PAIRS = T.StructType(
     [
         T.StructField("id_l", T.StringType(), False),
         T.StructField("id_r", T.StringType(), False),
-        T.StructField("block_key", T.StringType(), False),
+        # 64-bit hashed block key (blocking.block_candidates): the pair-join
+        # and dedup shuffles carry 8 bytes instead of a ~40-char string
+        T.StructField("block_key", T.LongType(), False),
         T.StructField("name_sim", T.DoubleType(), False),
         T.StructField("lev_sim", T.DoubleType(), False),
         T.StructField("minhash_sim", T.DoubleType(), False),

@@ -111,3 +111,20 @@ class TestAggregation:
         assert out["a"]["win_rate"] == pytest.approx(1.0)
         assert out["b"]["win_rate"] == pytest.approx(0.0)
         assert out["a"]["adjusted_score"] == pytest.approx(0.7 * 0.85 + 0.3 * 1.0)
+
+
+def test_seeded_sample_deterministic_subset(spark):
+    """X20: per-group n-row subset, identical across runs/partitionings."""
+    from entitylinking_spark.operators.ranking import seeded_sample
+
+    rows = [(g, i) for g in ("a", "b") for i in range(20)]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    s1 = {(r["grp"], r["x"]) for r in seeded_sample(df, "grp", 5, ["grp", "x"]).collect()}
+    s2 = {(r["grp"], r["x"])
+          for r in seeded_sample(df.repartition(7), "grp", 5, ["grp", "x"]).collect()}
+    assert s1 == s2
+    assert sum(1 for g, _ in s1 if g == "a") == 5
+    assert sum(1 for g, _ in s1 if g == "b") == 5
+    s3 = {(r["grp"], r["x"])
+          for r in seeded_sample(df, "grp", 5, ["grp", "x"], seed=7).collect()}
+    assert s3 != s1  # different seed -> different subset (w.h.p.)
