@@ -1198,9 +1198,11 @@ def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def media_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing incl. the (stubbed) decode: feature array emitted
-    as a fixed-precision string so the driver canonicalizer can sort it
-    (round-1 red row was `unhashable type: 'list'`)."""
+    """Multimodal plumbing incl. the stub decode, oracle-checked end to end:
+    the stub feature grid (multimodal._stub_decode, md5-derived k/4096) is
+    re-quantized to its integer grid so DuckDB can recompute the exact
+    values — no float formatting ambiguity (round-1 red row was
+    `unhashable type: 'list'`; round-2 makes it value-exact)."""
     from entitylinking_spark.operators.multimodal import extract_features
 
     media = _media_table(spark, sf_dir).filter(F.col("doc_id") < 200).drop("doc_id")
@@ -1208,9 +1210,38 @@ def media_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", "n_bytes", "payload_sha",
         F.array_join(
-            F.transform("feature", lambda x: F.format_string("%.4f", x)), ","
+            F.transform(
+                "feature",
+                lambda x: F.round(x * 4096).cast("int").cast("string"),
+            ),
+            ",",
         ).alias("feature_str"),
-    )
+    ).orderBy("media_id")
+
+
+# inner lambda variable must differ from the outer list_transform's `i`
+# (DuckDB lambda scoping: the inner variable would shadow the feature index
+# referenced inside the md5 argument)
+_H60_MEDIA = (
+    "list_sum(list_transform(range(15), j -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), j+1, 1)) - 1)"
+    " * (1::BIGINT << (4*(14-j)))))"
+)
+
+MEDIA_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         sha256(text) AS payload_sha
+  FROM documents WHERE doc_id < 200
+)
+SELECT media_id, kind, n_bytes, payload_sha,
+       array_to_string(list_transform(range(8), i ->
+         CAST({_H60_MEDIA.format(x="payload_sha || ':' || kind || ':' || CAST(i AS VARCHAR)")} % 4096 AS VARCHAR)
+       ), ',') AS feature_str
+FROM m ORDER BY media_id
+"""
 
 
 def media_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1309,14 +1340,13 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
     "bt_rank_orders": (bt_rank_orders, BT_RANK_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
+    # the decode itself is a declared stub (multimodal._stub_decode), but
+    # its md5-derived grid is recomputable by DuckDB, so even this query is
+    # value-checked end to end through the mapInPandas plumbing
+    "media_features_demo": (media_features_demo, MEDIA_FEATURES_SQL),
 }
 
-# media_features_demo keeps the stubbed decode in the loop — the feature
-# values are not SQL-expressible, so it stays a rows-only smoke query (the
-# oracle-checked half of the same plumbing is media_payload_audit).
-_ROWS_ONLY: dict[str, Callable] = {
-    "media_features_demo": media_features_demo,
-}
+_ROWS_ONLY: dict[str, Callable] = {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

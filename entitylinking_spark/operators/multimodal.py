@@ -25,14 +25,21 @@ FEATURE_SCHEMA = (
 
 
 def _stub_decode(payload: bytes, kind: str, dim: int) -> np.ndarray:
-    """Deterministic fake 'decoded feature': seeded from the payload hash.
+    """Deterministic fake 'decoded feature' — STILL A STUB, not a decoder.
 
     Stands in for decode->resize->embed; replace with a real decoder where
-    the libraries exist. Same payload bytes => same feature, everywhere.
-    """
-    seed = int.from_bytes(hashlib.sha256(payload + kind.encode()).digest()[:4], "big")
-    rng = np.random.RandomState(seed)
-    return rng.rand(dim).astype(np.float32)
+    the libraries exist. Each component is md5-derived on a 1/4096 grid:
+    f_i = (first 60 md5 bits of "{sha256(payload)}:{kind}:{i}") % 4096
+          / 4096
+    — exactly representable in float32 AND recomputable by the DuckDB
+    oracle (media_features_demo is value-checked end to end through the
+    mapInPandas plumbing despite the decode being fake)."""
+    sha = hashlib.sha256(payload).hexdigest()
+    ks = [
+        int(hashlib.md5(f"{sha}:{kind}:{i}".encode()).hexdigest()[:15], 16) % 4096
+        for i in range(dim)
+    ]
+    return (np.array(ks, dtype=np.float64) / 4096.0).astype(np.float32)
 
 
 def extract_features(media: DataFrame, dim: int = 16,
