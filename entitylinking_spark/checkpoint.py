@@ -45,14 +45,30 @@ class CheckpointStore:
     def enabled(self) -> bool:
         return self.root is not None
 
+    _FP_PROP = "elspark.fingerprint"
+
     def is_complete(self, stage: str, fingerprint: str | None = None) -> bool:
         """Complete AND (when a fingerprint is given) written under the same
         config/input fingerprint. A marker from a different fingerprint is
         stale — round-1 advice: resume keyed on stage name alone silently
-        returned tables computed with a different ERConfig or input."""
+        returned tables computed with a different ERConfig or input.
+
+        Iceberg backend: the fingerprint is stored as the table property
+        `elspark.fingerprint` (write()) and compared here, so both backends
+        expose the same invalidation semantics (ADVICE r2 — previously
+        tableExists() alone let a stale Iceberg stage resume). A property
+        read failure is treated as stale (recompute), never as complete.
+        """
         if self.iceberg_catalog:
+            tbl = f"{self.iceberg_catalog}.{stage}"
             try:
-                return self.spark.catalog.tableExists(f"{self.iceberg_catalog}.{stage}")
+                if not self.spark.catalog.tableExists(tbl):
+                    return False
+                if fingerprint is None:
+                    return True
+                rows = self.spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+                props = {r["key"]: r["value"] for r in rows}
+                return props.get(self._FP_PROP) == fingerprint
             except Exception:
                 return False
         if not (self.enabled and os.path.exists(self._marker(stage))):
@@ -77,11 +93,20 @@ class CheckpointStore:
         if not self.enabled:
             return df
         if self.iceberg_catalog:
-            writer = df.writeTo(f"{self.iceberg_catalog}.{stage}")
+            tbl = f"{self.iceberg_catalog}.{stage}"
+            writer = df.writeTo(tbl)
             if partition_by:
                 writer = writer.partitionedBy(*partition_by)
             writer.createOrReplace()
-            return self.spark.read.table(f"{self.iceberg_catalog}.{stage}")
+            fp = (meta or {}).get("fingerprint")
+            if fp is not None:
+                # mirrors the Parquet marker: is_complete() compares this
+                # property for stale-stage invalidation
+                self.spark.sql(
+                    f"ALTER TABLE {tbl} SET TBLPROPERTIES "
+                    f"('{self._FP_PROP}'='{fp}')"
+                )
+            return self.spark.read.table(tbl)
         path = self._dir(stage)
         if os.path.exists(path):
             shutil.rmtree(path)

@@ -47,9 +47,19 @@ class ERConfig:
     # becomes a candidate if it ALSO shares one of `coarse_bands` permissive
     # LSH bands of `coarse_rows` rows. Round-2 census at 200k rows: path
     # blocks carried 9.3M of 9.7M pair mass, 96% junk (random same-stem
-    # files); the gate keeps name-channel recall >=99.5% at the lowest
-    # content similarity that can still reach tau (J_floor below) while
-    # killing the O(block^2) junk at the source.
+    # files); the gate kills the O(block^2) junk at the source.
+    # RECALL CAVEAT (ADVICE r2): the 1-(1-j^r)^b gate probability is in
+    # SHINGLE-space (3-token-shingle Jaccard, what the MinHash sketches),
+    # while matchability tau is decided in VERIFY-space (token n-grams,
+    # verify_ngram). For edited files shingle-J sits below token-J (one
+    # token edit kills up to 3 shingles), so the >=99.5% figure quoted at
+    # j=0.53 applies to pairs whose SHINGLE-J is 0.53; a renamed file
+    # whose token-J is barely matchable can have shingle-J lower and see
+    # less gate recall. Empirically (tests/test_pipeline_e2e.py fixtures,
+    # 300/20k rows incl. renamed+edited near-dups) pairwise F1 stays 1.000;
+    # such pairs are also usually caught by the fine mh bands or the sha
+    # channel. Set coarse_rows=1 for a more permissive gate if the corpus
+    # has heavy rename+edit churn.
     coarse_bands: int = 16
     coarse_rows: int = 2
     # SOUND length prune: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) for the
@@ -85,14 +95,32 @@ class ERConfig:
     def __post_init__(self):
         if self.num_bands * self.rows_per_band > self.num_perm:
             raise ValueError("num_bands*rows_per_band must be <= num_perm")
+        # CLAMP (don't raise) the coarse name-channel gate to the available
+        # permutations: callers like dedup_minhash_lsh build small-num_perm
+        # configs that never touch the coarse keys, and a hard error here was
+        # a round-2 regression (ADVICE r2). Clamping keeps block_candidates
+        # well-defined for every config; the clamped values participate in
+        # the checkpoint fingerprint, so resumes stay consistent.
         if self.coarse_bands * self.coarse_rows > self.num_perm:
-            raise ValueError("coarse_bands*coarse_rows must be <= num_perm")
+            rows = min(self.coarse_rows, self.num_perm)
+            object.__setattr__(self, "coarse_rows", rows)
+            object.__setattr__(self, "coarse_bands", max(1, self.num_perm // rows))
 
     @property
     def len_ratio_floor(self) -> float:
-        """Effective length-ratio prune floor (see min_len_ratio)."""
+        """Effective length-ratio prune floor (see min_len_ratio).
+
+        SOUND only when the match decision uses the exact verify-space
+        Jaccard: J(A,B) <= min(|A|,|B|)/max(|A|,|B|) bounds the EXACT
+        Jaccard of the unit sets, not the b-bit MinHash ESTIMATE used when
+        verify_jaccard=False. In estimate mode the derived floor is
+        therefore disabled (ADVICE r2) — set min_len_ratio explicitly to
+        opt in regardless.
+        """
         if self.min_len_ratio is not None:
             return self.min_len_ratio
+        if not self.verify_jaccard:
+            return 0.0
         if self.w_content <= 0:
             return 0.0
         return max(0.0, (self.tau - self.w_name) / self.w_content)

@@ -35,7 +35,11 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
     count per row, from with_keys), pairs whose unit-count ratio is below
     cfg.len_ratio_floor are dropped INSIDE the join, before the dedup
     shuffle: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so such pairs provably
-    cannot reach tau — a sound prune, unlike the sketch prescreen.
+    cannot reach tau — a sound prune, unlike the sketch prescreen. The
+    soundness argument requires the match decision to use the EXACT
+    verify-space Jaccard; cfg.len_ratio_floor therefore evaluates to 0
+    when cfg.verify_jaccard is False unless min_len_ratio was set
+    explicitly (ADVICE r2).
     """
     has_units = "n_units" in blocks.columns
     ratio = cfg.len_ratio_floor if has_units else 0.0

@@ -102,11 +102,13 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
     # equal-name fast path: the Arrow JW kernel is the only Python-rate
     # kernel in the pipeline; identical file names (renames keep stems,
     # exact-dup reps, template files) resolve to 1.0 JVM-side, so the
-    # Python batch only ever sees genuinely different name pairs
-    surv_eq = p.filter(survives & (F.col("fname_l") == F.col("fname_r"))).withColumn(
-        "name_sim", F.lit(1.0)
-    )
-    surv_ne = p.filter(survives & ~(F.col("fname_l") == F.col("fname_r"))).withColumn(
+    # Python batch only ever sees genuinely different name pairs.
+    # eqNullSafe: a plain == returns NULL when either fname is NULL, which
+    # would drop the pair from BOTH branches (ADVICE r2) — the null-safe
+    # split is exhaustive (pruned + surv_eq + surv_ne == all pairs).
+    eq_name = F.col("fname_l").eqNullSafe(F.col("fname_r"))
+    surv_eq = p.filter(survives & eq_name).withColumn("name_sim", F.lit(1.0))
+    surv_ne = p.filter(survives & ~eq_name).withColumn(
         "name_sim",
         F.greatest(jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")), F.col("lev_sim")),
     )
