@@ -59,6 +59,16 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # Untimed warmup: spawn the Python/Arrow worker pool and JIT the
+    # whole-stage-codegen paths once, so the first timed query measures the
+    # engine, not daemon startup (~5-10 s of one-time cost at local[32]).
+    from entitylinking_spark.functions.strings import jaro_winkler_udf
+
+    spark.range(10_000).repartition(cpus).select(
+        F.count(jaro_winkler_udf(F.col("id").cast("string"), F.lit("warmup")))
+    ).collect()
+    docs.limit(1000).groupBy("lang").count().collect()
+
     # --- flagship ER pipeline on the synthetic bench table ----------------
     # (BASELINE.md protocol: deterministic repo_files, seed=42; the driver
     # documents table is too small to exercise the pair join at bench scale)
@@ -77,6 +87,13 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("er_synth", er_synth)
     if timings["er_synth"] > 0:
+        # rows/sec is the headline throughput (stable across rounds);
+        # pairs/sec is kept as a secondary signal only — pair-volume
+        # REDUCTIONS (the round-2 win) make it fall while the pipeline
+        # gets faster, so it must not be read as the throughput metric
+        extras["rows_per_sec"] = round(
+            extras["er_synth_rows"] / timings["er_synth"], 1
+        )
         extras["pairs_per_sec"] = round(
             extras["candidate_pairs_scored"] / timings["er_synth"], 1
         )

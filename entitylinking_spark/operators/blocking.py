@@ -83,6 +83,12 @@ class ERConfig:
     suppress_sample: float = 0.05
     suppress_min_df: int = 8
     suppress_max_terms: int = 100_000
+    # Corpora below this row count skip the suppression census entirely
+    # (round-2 verdict: at 20k rows the census is a pure fixed cost — the
+    # pair explosion it prevents doesn't exist yet, and with a 5% sample
+    # plus the min-df floor the blacklist is empty/near-empty anyway).
+    # One cheap count() decides; at parquet scale that's metadata-only.
+    suppress_min_corpus: int = 50_000
     verify_jaccard: bool = True   # exact token-Jaccard on survivors of a prescreen
     # gram size for the exact verification space: 1 = distinct tokens (the
     # round-1 behavior), 3 = token trigrams — the same space the MinHash
@@ -90,6 +96,12 @@ class ERConfig:
     # and the verified value commensurable
     verify_ngram: int = 1
     prescreen_margin: float = 0.15
+    # Decision-bounded Jaro-Winkler (round-3): compute the Python JW kernel
+    # only for pairs where name_sim ∈ [lev_sim, 1] can move the score
+    # across tau; everywhere else the JVM Levenshtein surrogate is
+    # decision-equivalent and name_sim reports lev_sim. False restores the
+    # round-2 behavior (JW for every unequal-name survivor).
+    jw_decision_band: bool = True
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self):

@@ -34,6 +34,10 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
+    # No trailing distinct: duplicates are absorbed by small-star's groupBy
+    # in the same iteration, and dropping the extra full shuffle per
+    # iteration is worth more than the bounded duplicate inflation
+    # (duplicates never exceed the input edge multiplicity).
     sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     mins = sym.groupBy("src").agg(F.min("dst").alias("min_nbr"))
     mins = mins.withColumn("m", F.least(F.col("min_nbr"), F.col("src"))).select("src", "m")
@@ -42,7 +46,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .join(mins, "src")
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -68,6 +71,7 @@ def connected_components(
     all_ids: DataFrame | None = None,
     max_iter: int = 50,
     on_iteration=None,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """edges(src,dst) -> assignments(row_id, cluster_id = component min).
 
@@ -75,6 +79,9 @@ def connected_components(
     `edges` come back as singleton clusters (cluster_id = row_id).
     on_iteration: optional callback(iteration:int, edge_count:int) — used by
     the pipeline to checkpoint the frontier (resume support).
+    assume_distinct: skip the initial dedup shuffle when the caller already
+    guarantees distinct (src != dst) edges (the ER pipeline does — it
+    distincts the union of near-dup and exact-dup edges itself).
     """
     # Catalyst's Union constraint rewriting can hit "key not found: attr"
     # when both union branches share lineage (SPARK-known issue); constraint
@@ -85,7 +92,9 @@ def connected_components(
     prev_cp = conf.get("spark.sql.constraintPropagation.enabled", "true")
     conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
-        e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+        e = edges.select("src", "dst")
+        if not assume_distinct:
+            e = e.filter(F.col("src") != F.col("dst")).distinct()
         e = e.localCheckpoint(eager=True)
         sig = _signature(e)
         for it in range(max_iter):

@@ -108,11 +108,36 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
     # split is exhaustive (pruned + surv_eq + surv_ne == all pairs).
     eq_name = F.col("fname_l").eqNullSafe(F.col("fname_r"))
     surv_eq = p.filter(survives & eq_name).withColumn("name_sim", F.lit(1.0))
-    surv_ne = p.filter(survives & ~eq_name).withColumn(
-        "name_sim",
-        F.greatest(jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")), F.col("lev_sim")),
+    ne = p.filter(survives & ~eq_name)
+    jw_name = F.greatest(
+        jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")), F.col("lev_sim")
     )
-    surv = surv_eq.unionByName(surv_ne)
+    if cfg.jw_decision_band:
+        # DECISION-BOUNDED JW (round-2 verdict #3): since name_sim ∈
+        # [lev_sim, 1] and the match decision is score >= tau, JW can only
+        # change the decision when the score straddles tau within
+        # w_name*(1 - lev_sim). Outside that band the native Levenshtein
+        # surrogate is decision-equivalent, and the Python kernel is
+        # skipped entirely (a native filter BEFORE the UDF — Spark would
+        # otherwise evaluate a pandas UDF under when() unconditionally).
+        # The band is tested against content_est; in verified mode the
+        # final score uses the exact Jaccard instead, so the estimate gets
+        # the same ±prescreen_margin (~2.5 sigma) guard as the prescreen.
+        delta = cfg.prescreen_margin if cfg.verify_jaccard else 0.0
+        lev0 = F.coalesce(F.col("lev_sim"), F.lit(0.0))
+        clear = (
+            cfg.w_name * lev0 + cfg.w_content * (F.col("content_est") - delta)
+            >= F.lit(cfg.tau)
+        ) | (
+            cfg.w_name * 1.0 + cfg.w_content * (F.col("content_est") + delta)
+            < F.lit(cfg.tau)
+        )
+        surv_ne = ne.filter(~clear).withColumn("name_sim", jw_name)
+        surv_ne_clear = ne.filter(clear).withColumn("name_sim", lev0)
+        surv = surv_eq.unionByName(surv_ne).unionByName(surv_ne_clear)
+    else:
+        surv_ne = ne.withColumn("name_sim", jw_name)
+        surv = surv_eq.unionByName(surv_ne)
 
     if cfg.verify_jaccard:
         toks_src = content_df if content_df is not None else keyed

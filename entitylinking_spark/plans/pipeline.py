@@ -97,7 +97,11 @@ def resolve(
     # scoring them, not the census).
     blacklist = None
     if cfg.suppress_shingle_df is not None and not store.is_complete("keyed", fingerprint=fp):
-        blacklist = shingle_blacklist(repo_files, cfg)
+        # corpus-size gate (round-2 verdict #2): below suppress_min_corpus
+        # the census is fixed cost with no pair explosion to prevent —
+        # one count() (metadata-only on parquet) decides
+        if repo_files.count() >= cfg.suppress_min_corpus:
+            blacklist = shingle_blacklist(repo_files, cfg)
         if collect_metrics:
             m.record("shingle_suppression",
                      n_suppressed=0 if blacklist is None else int(len(blacklist)))
@@ -162,12 +166,29 @@ def resolve(
         scored = scored.persist()
         persisted.append(scored)
     if collect_metrics:
+        # reconstruct scoring's JW decision band from the output columns to
+        # count pairs that actually reached the Python kernel (content_est
+        # == minhash_sim here: the rep fast path removed exact-dup pairs)
+        delta = cfg.prescreen_margin if cfg.verify_jaccard else 0.0
+        lev0 = F.coalesce(F.col("lev_sim"), F.lit(0.0))
+        clear = (
+            cfg.w_name * lev0 + cfg.w_content * (F.col("minhash_sim") - delta)
+            >= F.lit(cfg.tau)
+        ) | (
+            cfg.w_name * 1.0 + cfg.w_content * (F.col("minhash_sim") + delta)
+            < F.lit(cfg.tau)
+        )
+        jw_evald = F.col("name_sim").isNotNull() & (F.col("name_sim") != 1.0)
+        if cfg.jw_decision_band:
+            jw_evald = jw_evald & ~clear
         stats = scored.agg(
             F.count("*").alias("n"),
             F.sum(F.col("name_sim").isNotNull().cast("long")).alias("survivors"),
+            F.sum(jw_evald.cast("long")).alias("jw_pairs"),
         ).collect()[0]
         n_pairs = int(stats["n"])
         survivors = int(stats["survivors"] or 0)
+        jw_pairs = int(stats["jw_pairs"] or 0)
         m.record(
             "pairs_scored",
             n_pairs=n_pairs,
@@ -175,6 +196,10 @@ def resolve(
             # expensive verify stage (name_sim computed) — VERDICT #9
             prescreen_survivors=survivors,
             prescreen_survivor_frac=round(survivors / n_pairs, 4) if n_pairs else 0.0,
+            # decision-bounded JW (round-3 verdict #3): pairs that actually
+            # reached the Python Jaro-Winkler kernel
+            jw_pairs=jw_pairs,
+            jw_pair_frac=round(jw_pairs / n_pairs, 4) if n_pairs else 0.0,
             **m.partition_sizes(scored),
         )
 
@@ -189,8 +214,10 @@ def resolve(
         def on_iter(it: int, n_edges: int):
             if collect_metrics:
                 m.record(f"cc_iter_{it}", n_edges=n_edges)
+        # edges were already distinct-ed above — skip CC's initial dedup
         return connected_components(
-            edges, all_ids=keyed.select("row_id"), on_iteration=on_iter
+            edges, all_ids=keyed.select("row_id"), on_iteration=on_iter,
+            assume_distinct=True,
         )
 
     clusters = store.get_or_compute("clusters", compute_clusters, fingerprint=fp)
