@@ -600,7 +600,10 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/X14 embedding top-k: exact cosine top-5 for vec_id < 3 queries."""
     from entitylinking_spark.operators.similarity import brute_force_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        # full-double cosine (same 4-dp boundary guard as ann_topk_shuffle)
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
     q = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -624,6 +627,90 @@ ranked AS (
 )
 SELECT query_id, vec_id, CAST(rank AS INT) AS rank, ROUND(cosine, 4) AS cosine_r
 FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+# 60-bit md5-derived hash of a token/gram string (functions/relhash.md5_hash60)
+_H60_SQL = (
+    "list_sum(list_transform(range(15), i -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1)"
+    " * (1::BIGINT << (4*(14-i)))))"
+)
+
+
+def ann_topk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale ANN top-k (round-3): EVERY embedding row queries the
+    index — the reference's per-mention probe shape
+    (/root/reference/Sparkle/database.py:165-183) with a corpus-sized query
+    side, so nothing is broadcast: SRP bucket shuffle join + 1-bit
+    multi-probe + hot-bucket salting. The SRP planes are integer-quantized
+    md5-derived weights and the embedding components are floor(x*4096), so
+    every bucket bit is pure BIGINT arithmetic that DuckDB recomputes
+    bit-for-bit (candidate sets match exactly; cosine ranking follows the
+    SIM_TOPK precedent)."""
+    from entitylinking_spark.operators.similarity import lsh_topk_shuffle
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        # full-double cosine arithmetic (float32 products shift ~1e-7 and
+        # can land on a 4-dp rounding boundary vs DuckDB's DOUBLE[] math)
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_topk_shuffle(emb, q, k=3, n_planes=8, probe_bits=1, dim=64)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    ).orderBy("query_id", "rank")
+
+
+ANN_TOPK_SQL = f"""
+WITH planes AS (
+  SELECT p, d,
+         ({_H60_SQL.format(x="'srp:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")})
+           % 4096 - 2048 AS w
+  FROM range(8) tp(p) CROSS JOIN range(64) td(d)
+),
+qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS e
+  FROM embeddings
+),
+dots AS (
+  SELECT q.vec_id, pl.p, SUM(q.e[pl.d + 1] * pl.w) AS dot
+  FROM qe q CROSS JOIN planes pl
+  GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1
+),
+probes AS (
+  SELECT vec_id AS query_id, bucket AS pbucket FROM buckets
+  UNION
+  SELECT b.vec_id, xor(b.bucket, (1::BIGINT << f.j))
+  FROM buckets b CROSS JOIN range(8) f(j)
+),
+cand AS (
+  SELECT pr.query_id, cb.vec_id
+  FROM probes pr JOIN buckets cb ON cb.bucket = pr.pbucket
+),
+scored AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                CAST(qv.embedding AS DOUBLE[])) AS cosine
+  FROM cand c
+  JOIN embeddings ce ON ce.vec_id = c.vec_id
+  JOIN embeddings qv ON qv.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, ROUND(cosine, 4) AS cosine_r
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
@@ -1071,14 +1158,6 @@ SELECT doc_id, CAST(rank AS INT) AS rank, ROUND(score, 6) AS score_r FROM (
 """
 
 
-# 60-bit md5-derived hash of a token/gram string (functions/relhash.md5_hash60)
-_H60_SQL = (
-    "list_sum(list_transform(range(15), i -> "
-    "(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1)"
-    " * (1::BIGINT << (4*(14-i)))))"
-)
-
-
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash dedup with the md5-derived RELATIONAL fingerprint
     (functions/relhash.py): DuckDB recomputes the exact same 60-bit
@@ -1335,6 +1414,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "media_payload_audit": (media_payload_audit, MEDIA_AUDIT_SQL),
     "x9_bm25_topk": (x9_bm25_topk, X9_BM25_SQL),
     "a7_recall_at_k": (a7_recall_at_k, A7_SQL),
+    "ann_topk_shuffle": (ann_topk_shuffle, ANN_TOPK_SQL),
     "er_clusters": (er_clusters, ER_CLUSTERS_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_SQL),
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),

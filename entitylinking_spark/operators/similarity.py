@@ -95,9 +95,10 @@ def hyperplane_bucket(vec_col: Column, n_planes: int = 8) -> Column:
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              n_planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
-    """Approximate top-k: only score corpus vectors in the query's SRP
-    bucket. Trades recall for a bucket-equi-join instead of a cross join;
-    at 100TB the bucket count is raised (n_planes) until buckets fit."""
+    """Approximate top-k for a SMALL query set: only score corpus vectors in
+    the query's SRP bucket, query side broadcast. For a query side that is
+    itself corpus-scale (the reference probes its index once per mention —
+    /root/reference/Sparkle/database.py:165-183), use lsh_topk_shuffle."""
     corp = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
     ).withColumn("bucket", hyperplane_bucket(F.col("_vec"), n_planes))
@@ -107,5 +108,136 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     scored = corp.join(F.broadcast(q), "bucket").select(
         "query_id", "vec_id", cosine_sim(F.col("_vec"), F.col("_qvec")).alias("cosine")
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-scale ANN: shuffle bucket join + multi-probe (round-3 verdict #1)
+# ---------------------------------------------------------------------------
+#
+# Integer-quantized SRP: hyperplane weights are md5-derived integers in
+# [-2048, 2047] and embedding components are floor(x * 4096) — float32
+# inputs scale by 2^12 EXACTLY in double, so the floor is deterministic and
+# every dot product is pure BIGINT arithmetic. That gives (a) a bucket
+# function with no float-summation-order ambiguity (the DuckDB oracle
+# recomputes it bit-for-bit — the relhash.py pattern), and (b) a JVM-native
+# whole-stage-codegen bucket expression with no Python in the path.
+# Quantization changes each hyperplane direction by <= 2^-12 per component —
+# immaterial to LSH quality.
+
+_SRP_QUANT = 4096
+
+
+def srp_planes(n_planes: int, dim: int, tag: str = "srp") -> list[list[int]]:
+    """Deterministic quantized hyperplanes: w[p][d] = md5-60bit("{tag}:{p}:{d}")
+    % 4096 - 2048. Same derivation is re-expressed in SQL by the driver
+    oracle, so Spark and DuckDB agree on every bucket bit."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{tag}:{p}:{d}".encode()).hexdigest()[:15], 16) % _SRP_QUANT
+            - _SRP_QUANT // 2
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_bucket_expr(vec_col: Column, planes: list[list[int]]) -> Column:
+    """JVM-native SRP bucket id from quantized planes (see module note)."""
+    q = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * _SRP_QUANT).cast("long")
+    )
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        w = F.array(*[F.lit(int(wi)).cast("long") for wi in plane])
+        dot = F.aggregate(
+            F.zip_with(q, w, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    return bucket
+
+
+def _probe_buckets(bucket: Column, n_planes: int, probe_bits: int) -> Column:
+    """Multi-probe bucket list: the query's own bucket plus every bucket at
+    Hamming distance <= probe_bits (bit flips). probe_bits=1 costs n_planes
+    extra probes per query and recovers most near-boundary misses."""
+    probes = [bucket]
+    if probe_bits >= 1:
+        probes += [bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    if probe_bits >= 2:
+        probes += [
+            bucket.bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return F.array_distinct(F.array(*probes))
+
+
+def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                     n_planes: int = 8, probe_bits: int = 1,
+                     bucket_cap: int = 2_000, dim: int | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "query_id", qvec_col: str = "embedding",
+                     planes: list[list[int]] | None = None) -> DataFrame:
+    """Corpus-scale approximate top-k: shuffle bucket equi-join, salted.
+
+    The 100 TB path for "every mention queries the index"
+    (/root/reference/Sparkle/database.py:165-183): neither side is
+    broadcast. Corpus vectors hash to one SRP bucket each; queries probe
+    their bucket plus all buckets within `probe_bits` bit flips (recall
+    knob). Hot buckets are salted: a bucket of size S gets ceil(S/cap)
+    salt groups, corpus rows land in one group (hash of id), query probes
+    replicate across groups — no join task reads more than `bucket_cap`
+    corpus rows of one bucket, the standard bipartite skew treatment
+    (salting changes task boundaries, never results). Per-query rank
+    window yields (query_id, vec_id, cosine, rank<=k), ties broken by
+    vec_id — the same contract as brute_force_topk.
+    """
+    if planes is None:
+        if dim is None:
+            dim = len(
+                embeddings.select(F.col(vec_col)).first()[0]
+            )
+        planes = srp_planes(n_planes, dim)
+    n_planes = len(planes)
+
+    corp = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
+    ).withColumn("bucket", srp_bucket_expr(F.col("_vec"), planes))
+    census = corp.groupBy("bucket").agg(
+        F.ceil(F.count("*") / F.lit(bucket_cap)).cast("int").alias("n_salt")
+    )
+    # census has <= 2^n_planes rows — always broadcast (the bucket-size
+    # lookup must not cost a shuffle of the corpus)
+    corp = corp.join(F.broadcast(census), "bucket").withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int")
+    )
+
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qvec")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            _probe_buckets(
+                srp_bucket_expr(F.col("_qvec"), planes), n_planes, probe_bits
+            )
+        ),
+    )
+    # inner census join drops probes into empty buckets before the big join
+    q = q.join(F.broadcast(census), "bucket").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
+    )
+
+    scored = corp.join(q, ["bucket", "salt"]).select(
+        "query_id", "vec_id",
+        cosine_sim(F.col("_vec"), F.col("_qvec")).alias("cosine"),
+    )
+    # multi-probe buckets are disjoint (each corpus vector hashes to exactly
+    # one bucket), so no (query_id, vec_id) dedup is needed before ranking
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
