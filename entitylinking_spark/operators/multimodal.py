@@ -2,16 +2,22 @@
 
 Images/audio/video are opaque `binary` columns with a typed metadata
 struct (schemas.MEDIA). The Spark-side plumbing — schema, partitioning,
-Arrow batch shape, UDF signature — is real and tested; the actual decode
-is STUBBED (image/audio libraries are not in this container): with
-`use_stub_decoder=True` a deterministic fake derived from the payload
-bytes is produced, otherwise NotImplementedError tells integrators where
-to plug Pillow/torchaudio/ffmpeg.
+Arrow batch shape, UDF signature — is real and tested.
+
+Decoding (round-3): UNCOMPRESSED formats are decoded for real, pure-numpy,
+no external libraries — netpbm P5/P6 images, uncompressed 24-bit BMP, and
+RIFF/WAVE PCM audio (decode_ppm / decode_bmp / decode_wav below, format
+sniffed from magic bytes). Compressed formats (JPEG/PNG/MP3/H.264) still
+need Pillow/torchaudio/ffmpeg and raise NotImplementedError at the decode
+site; `use_stub_decoder=True` keeps the deterministic md5-grid fake for
+pipelines that only exercise the plumbing (it remains the DuckDB-checkable
+path in the driver contract).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -42,6 +48,144 @@ def _stub_decode(payload: bytes, kind: str, dim: int) -> np.ndarray:
     return (np.array(ks, dtype=np.float64) / 4096.0).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# Pure-numpy decoders for uncompressed formats (round-3 verdict #5)
+# ---------------------------------------------------------------------------
+
+
+def _parse_pnm_header(data: bytes) -> tuple[str, int, int, int, int]:
+    """netpbm header: magic, width, height, maxval, raster offset.
+    Whitespace-separated ASCII tokens; '#' comments run to end of line."""
+    pos = 0
+
+    def next_token() -> bytes:
+        nonlocal pos
+        while pos < len(data):
+            if data[pos] in b" \t\r\n":
+                pos += 1
+            elif data[pos:pos + 1] == b"#":
+                while pos < len(data) and data[pos] not in b"\r\n":
+                    pos += 1
+            else:
+                break
+        start = pos
+        while pos < len(data) and data[pos] not in b" \t\r\n":
+            pos += 1
+        return data[start:pos]
+
+    magic = next_token().decode("ascii")
+    w = int(next_token())
+    h = int(next_token())
+    maxval = int(next_token())
+    pos += 1  # exactly one whitespace byte separates header from raster
+    return magic, w, h, maxval, pos
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary netpbm: P6 (RGB) -> (h, w, 3) uint8, P5 (gray) -> (h, w).
+
+    Pure numpy; maxval must be < 256 (the common 8-bit case)."""
+    magic, w, h, maxval, off = _parse_pnm_header(data)
+    if magic not in ("P5", "P6"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    if maxval >= 256:
+        raise NotImplementedError("16-bit netpbm not supported")
+    ch = 3 if magic == "P6" else 1
+    n = w * h * ch
+    raster = np.frombuffer(data, dtype=np.uint8, count=n, offset=off)
+    return raster.reshape((h, w, 3)) if ch == 3 else raster.reshape((h, w))
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB.
+
+    Handles 4-byte row padding and bottom-up row order (positive height)."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pix_off = struct.unpack_from("<I", data, 10)[0]
+    width, height = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    bottom_up = height > 0
+    h = abs(height)
+    stride = ((width * 3 + 3) // 4) * 4
+    rows = np.frombuffer(data, dtype=np.uint8, count=h * stride, offset=pix_off)
+    img = rows.reshape((h, stride))[:, : width * 3].reshape((h, width, 3))
+    if bottom_up:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM -> ((n_frames, n_channels) float64 in [-1, 1], rate).
+
+    8-bit unsigned and 16-bit signed little-endian PCM."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError("only PCM WAV supported")
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    n_frames = len(samples) // n_ch
+    return samples[: n_frames * n_ch].reshape((n_frames, n_ch)), rate
+
+
+def _segment_means(values: np.ndarray, dim: int) -> np.ndarray:
+    """Mean over `dim` near-equal contiguous segments (deterministic)."""
+    if values.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    bounds = np.linspace(0, values.size, dim + 1).astype(np.int64)
+    out = np.empty(dim, dtype=np.float64)
+    for i in range(dim):
+        seg = values[bounds[i]:bounds[i + 1]]
+        out[i] = float(seg.mean()) if seg.size else 0.0
+    return out.astype(np.float32)
+
+
+def _real_decode(payload: bytes, dim: int) -> np.ndarray:
+    """Decode an uncompressed payload (sniffed by magic) into a `dim`-dim
+    feature: grayscale segment means for images, RMS segment energy for
+    audio. Compressed formats raise NotImplementedError — that part still
+    needs Pillow/torchaudio/ffmpeg."""
+    if payload[:2] in (b"P5", b"P6"):
+        img = decode_ppm(payload).astype(np.float64)
+        gray = img.mean(axis=2) if img.ndim == 3 else img
+        return _segment_means(gray.ravel() / 255.0, dim)
+    if payload[:2] == b"BM":
+        img = decode_bmp(payload).astype(np.float64)
+        return _segment_means(img.mean(axis=2).ravel() / 255.0, dim)
+    if payload[:4] == b"RIFF":
+        samples, _rate = decode_wav(payload)
+        mono = samples.mean(axis=1)
+        return np.sqrt(_segment_means(mono * mono, dim))
+    raise NotImplementedError(
+        "compressed/unknown media format (supported pure-numpy: netpbm "
+        "P5/P6, uncompressed 24-bit BMP, PCM WAV); plug a real decoder in "
+        "operators/multimodal.py or pass use_stub_decoder=True"
+    )
+
+
 def extract_features(media: DataFrame, dim: int = 16,
                      use_stub_decoder: bool = True) -> DataFrame:
     """MEDIA rows -> per-item feature vectors via mapInPandas.
@@ -49,21 +193,25 @@ def extract_features(media: DataFrame, dim: int = 16,
     mapInPandas (not a scalar UDF) because a real decoder wants batch-level
     control: shared decoder state per partition, early filtering of corrupt
     payloads, and per-batch memory bounds for large blobs.
+
+    use_stub_decoder=False decodes uncompressed payloads for real
+    (_real_decode: netpbm/BMP/WAV, pure numpy); True keeps the
+    deterministic md5-grid stand-in — the DuckDB-checkable plumbing path.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_stub_decoder:
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libraries not "
-                    "present in this environment; pass use_stub_decoder=True "
-                    "or plug a decoder in operators/multimodal.py"
-                )
             payloads = pdf["payload"]
-            feats = [
-                _stub_decode(bytes(p) if p is not None else b"", k, dim)
-                for p, k in zip(payloads, pdf["kind"])
-            ]
+            if use_stub_decoder:
+                feats = [
+                    _stub_decode(bytes(p) if p is not None else b"", k, dim)
+                    for p, k in zip(payloads, pdf["kind"])
+                ]
+            else:
+                feats = [
+                    _real_decode(bytes(p) if p is not None else b"", dim)
+                    for p in payloads
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
