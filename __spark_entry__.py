@@ -630,6 +630,56 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def g5_overlapping_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 overlapping tournament groups (size 3, overlap 2) over per-nation
+    supplier rankings — the named operator for the reference's
+    _create_overlapping_groups (graph_system.py:702-752). The coverage
+    repair path (unreachable at stride 1) is parity-tested in
+    tests/test_overlapping_groups.py against a port of the reference loop."""
+    from entitylinking_spark.operators.ranking import overlapping_groups
+
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("mention_id"),
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_acctbal").alias("score"),
+    )
+    return (
+        overlapping_groups(s, group_size=3, overlap=2)
+        .orderBy("mention_id", "group_id")
+    )
+
+
+G5_SQL = """
+WITH ranked AS (
+  SELECT s_nationkey AS mention_id, s_suppkey AS entity_id,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                            ORDER BY s_acctbal DESC, s_suppkey) - 1 AS pos,
+         COUNT(*) OVER (PARTITION BY s_nationkey) AS n
+  FROM supplier
+),
+meta AS (SELECT mention_id, MAX(n) AS n FROM ranked GROUP BY mention_id),
+small AS (
+  SELECT mention_id, 0 AS start, n AS win FROM meta WHERE n <= 3
+),
+big AS (
+  SELECT mention_id, unnest(range(0, n - 2)) AS start, 3 AS win
+  FROM meta WHERE n > 3
+),
+groups AS (
+  SELECT mention_id, start, win,
+         ROW_NUMBER() OVER (PARTITION BY mention_id ORDER BY start) - 1 AS group_id
+  FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
+)
+SELECT r.mention_id, g.group_id,
+       list(r.entity_id ORDER BY r.pos) AS entity_ids
+FROM ranked r JOIN groups g
+  ON r.mention_id = g.mention_id
+ AND r.pos >= g.start AND r.pos < g.start + g.win
+GROUP BY r.mention_id, g.group_id
+ORDER BY r.mention_id, g.group_id
+"""
+
+
 # 60-bit md5-derived hash of a token/gram string (functions/relhash.md5_hash60)
 _H60_SQL = (
     "list_sum(list_transform(range(15), i -> "
@@ -1415,6 +1465,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "x9_bm25_topk": (x9_bm25_topk, X9_BM25_SQL),
     "a7_recall_at_k": (a7_recall_at_k, A7_SQL),
     "ann_topk_shuffle": (ann_topk_shuffle, ANN_TOPK_SQL),
+    "g5_overlapping_groups": (g5_overlapping_groups, G5_SQL),
     "er_clusters": (er_clusters, ER_CLUSTERS_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_SQL),
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),

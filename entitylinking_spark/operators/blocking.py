@@ -261,9 +261,12 @@ def block_candidates(keyed: DataFrame, cfg: ERConfig = ERConfig()) -> DataFrame:
         lambda e: F.xxhash64(F.lit("path"), F.col("lang"), stem, e["band"], e["key"]),
     )
     all_keys = F.array_union(mh_keys, path_keys)
+    # is_new (incremental resolution, plans/incremental.py) rides along so
+    # candidate_pairs can kill old×old pairs inside the join
+    extra = [c for c in ("is_new",) if c in keyed.columns]
     return keyed.select(
-        "row_id", "n_units", F.explode(all_keys).alias("block_key")
-    ).select("block_key", "row_id", "n_units")
+        "row_id", "n_units", *extra, F.explode(all_keys).alias("block_key")
+    ).select("block_key", "row_id", "n_units", *extra)
 
 
 def block_census(blocks: DataFrame) -> DataFrame:

@@ -42,8 +42,14 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
     explicitly (ADVICE r2).
     """
     has_units = "n_units" in blocks.columns
+    # is_new column (incremental resolution): only pairs with at least one
+    # new side are emitted — old×old pairs were already resolved in a prior
+    # increment, and dropping them INSIDE the join (not after the dedup
+    # shuffle) keeps incremental cost ~ new×affected, not corpus².
+    has_new = "is_new" in blocks.columns
     ratio = cfg.len_ratio_floor if has_units else 0.0
-    cols = ["block_key", "row_id"] + (["n_units"] if has_units else [])
+    cols = (["block_key", "row_id"] + (["n_units"] if has_units else [])
+            + (["is_new"] if has_new else []))
 
     def ratio_ok():
         if ratio <= 0:
@@ -51,6 +57,11 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
         lo = F.least(F.col("l.n_units"), F.col("r.n_units")).cast("double")
         hi = F.greatest(F.col("l.n_units"), F.col("r.n_units")).cast("double")
         return (hi <= 0) | (lo >= F.lit(ratio) * hi)
+
+    def new_ok():
+        if not has_new:
+            return F.lit(True)
+        return F.col("l.is_new") | F.col("r.is_new")
 
     if census is None:
         census = block_census(blocks.select("block_key", "row_id"))
@@ -64,6 +75,7 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
     small_pairs = (
         l.join(r, on="block_key")
         .filter(F.col("l.row_id") < F.col("r.row_id"))
+        .filter(new_ok())
         .filter(ratio_ok())
         .select(
             F.col("l.row_id").alias("id_l"),
@@ -104,6 +116,7 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
                 (F.col("l.salt") == F.col("grp.v")) & (F.col("r.salt") == F.col("grp.u"))
             )
         )
+        .filter(new_ok())
         .filter(ratio_ok())
         .select(
             F.col("l.row_id").alias("id_l"),

@@ -75,6 +75,113 @@ def seeded_sample(df: DataFrame, group_col: str, n: int, key_cols: list[str],
     )
 
 
+def overlapping_groups(candidates: DataFrame, group_size: int = 3, overlap: int = 2,
+                       id_col: str = "mention_id", entity_col: str = "entity_id",
+                       order_col: str = "score", text_col: str | None = None,
+                       member_text_col: str | None = None,
+                       repair_min_sim: float = 0.1) -> DataFrame:
+    """G5: overlapping tournament groups with coverage repair — the named
+    operator for /root/reference/e2e/systems/graph_system.py:702-752
+    (_create_overlapping_groups), previously only available by composition.
+
+    Per mention, candidates ordered by (order_col desc, entity_col) are cut
+    into sliding windows of `group_size` with `overlap` shared members
+    (stride = group_size - overlap); windows with fewer than 2 members are
+    skipped; windowing stops once a window reaches the list end; a list of
+    <= group_size candidates forms one group. At most one candidate (the
+    list tail under a skipped length-1 window) can be left uncovered — it
+    is repaired into the group with the highest word-overlap similarity
+    |common| / max(|a|,|b|) of text_col vs the concatenated
+    member_text_col (first-group tie-break, reference loop order), when
+    that similarity exceeds `repair_min_sim`; with text_col=None the
+    repair step is skipped.
+
+    Returns (id_col, group_id, entity_ids array) with group members in
+    list order, repaired members appended last — all window/join/aggregate
+    relational ops, no UDF.
+    """
+    member_text_col = member_text_col or text_col
+    stride = group_size - overlap
+    if stride <= 0:
+        raise ValueError("group_size must exceed overlap")
+
+    w = Window.partitionBy(id_col).orderBy(F.desc(order_col), entity_col)
+    text_cols = [c for c in {text_col, member_text_col} if c]
+    ranked = candidates.select(id_col, entity_col, order_col,
+                               *text_cols).withColumn(
+        "pos", F.row_number().over(w) - 1
+    ).withColumn("n", F.count("*").over(Window.partitionBy(id_col)))
+
+    meta = ranked.groupBy(id_col).agg(F.max("n").alias("n"))
+    # small lists: one group of everything (reference early-return)
+    small = meta.filter(F.col("n") <= group_size).select(
+        id_col, F.lit(0).alias("start"), F.col("n").alias("win")
+    )
+    # sliding windows with the reference's break rule: a start i is emitted
+    # iff it is 0 or the PREVIOUS window did not already reach the end
+    big = meta.filter(F.col("n") > group_size).select(
+        id_col, "n",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.col("n") - overlap, F.lit(stride)),
+                lambda i: (i == 0) | (i - stride + group_size < F.col("n")),
+            )
+        ).alias("start"),
+    ).filter(F.col("n") - F.col("start") >= 2).select(
+        id_col, "start", F.lit(group_size).alias("win")
+    )
+    groups = small.unionByName(big).withColumn(
+        "group_id",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("start")) - 1,
+    )
+
+    members = ranked.join(groups, id_col).filter(
+        (F.col("pos") >= F.col("start")) & (F.col("pos") < F.col("start") + F.col("win"))
+    )
+
+    if text_col is not None:
+        words = lambda c: F.array_distinct(  # noqa: E731 — reference .split()
+            F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+        )
+        gtext = members.groupBy(id_col, "group_id").agg(
+            F.array_join(F.collect_list(F.col(member_text_col)), " ").alias("_gt")
+        ).withColumn("_gw", words(F.col("_gt")))
+        missing = ranked.join(
+            members.select(id_col, "pos").distinct(), [id_col, "pos"], "left_anti"
+        ).withColumn("_cw", words(F.col(text_col)))
+        best = (
+            missing.join(gtext, id_col)
+            .withColumn(
+                "_sim",
+                F.size(F.array_intersect("_cw", "_gw")).cast("double")
+                / F.greatest(F.size("_cw"), F.size("_gw"), F.lit(1)).cast("double"),
+            )
+            .filter(F.col("_sim") > repair_min_sim)
+            .withColumn(
+                "_rk",
+                F.row_number().over(
+                    Window.partitionBy(id_col, "pos").orderBy(
+                        F.desc("_sim"), "group_id"
+                    )
+                ),
+            )
+            .filter(F.col("_rk") == 1)
+            # repaired members sort AFTER the window members (appended)
+            .select(id_col, entity_col, "group_id",
+                    (F.col("pos") + F.lit(1_000_000)).alias("pos"))
+        )
+        members = members.select(id_col, entity_col, "group_id", "pos").unionByName(best)
+    else:
+        members = members.select(id_col, entity_col, "group_id", "pos")
+
+    return members.groupBy(id_col, "group_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", F.col(entity_col).alias("e")))),
+            lambda s: s["e"],
+        ).alias("entity_ids")
+    )
+
+
 def confidence_weighted_aggregation(df: DataFrame, cand_col: str = "candidate_id",
                                     score_col: str = "score",
                                     conf_col: str = "confidence") -> DataFrame:

@@ -1,0 +1,144 @@
+"""Incremental entity resolution over an accumulating corpus.
+
+Extension beyond the reference (which is pure batch — SURVEY.md §2.9):
+as new file snapshots arrive (e.g. from streaming/ingest.stream_keyed),
+each increment resolves clusters WITHOUT re-scoring the old corpus:
+
+  * candidate pairs are generated over the combined rep set, but old×old
+    pairs are dropped INSIDE the block self-join (is_new flag carried
+    through block_candidates/candidate_pairs), so incremental pair volume
+    is ~ new×affected, not corpus²;
+  * the previous clustering re-enters connected components as its star
+    edges (row -> cluster min). Transitive closure of a union satisfies
+    closure(closure(old) ∪ new) == closure(old ∪ new), so the incremental
+    clusters equal a from-scratch batch run over the combined corpus
+    (tests/test_incremental.py proves it on fixtures).
+
+Correctness caveats (documented, enforced where cheap):
+  * shingle suppression must be OFF or pinned: a corpus-frequency
+    blacklist sampled from a grown corpus changes old rows' signatures.
+    resolve_increment forces suppress_shingle_df=None.
+  * a block crossing skip_block_threshold only as the corpus grows was
+    partially paired in earlier increments; batch would skip it entirely.
+    The skip threshold marks boilerplate bands, where scored pairs are
+    below tau anyway — same rationale as the batch skip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from entitylinking_spark.operators.blocking import (
+    ERConfig,
+    block_candidates,
+    with_keys,
+)
+from entitylinking_spark.operators.cc import connected_components
+from entitylinking_spark.operators.pairs import candidate_pairs
+from entitylinking_spark.operators.scoring import matched_edges, score_pairs
+
+
+@dataclass
+class IncrementalState:
+    """Accumulated resolution state between increments.
+
+    keyed:    slim keyed rows (no content) for every row seen so far
+    content:  (row_id, content) for the verify join of future increments
+    clusters: current (row_id, cluster_id) assignment
+    n_pairs_scored: pairs scored in the LAST increment (the new×affected
+    measurement; a full batch re-run would have scored ~corpus² / blocks)
+    """
+
+    keyed: DataFrame
+    content: DataFrame
+    clusters: DataFrame
+    n_pairs_scored: int = 0
+
+
+def _no_suppress(cfg: ERConfig) -> ERConfig:
+    if cfg.suppress_shingle_df is None:
+        return cfg
+    return dataclasses.replace(cfg, suppress_shingle_df=None)
+
+
+def resolve_increment(
+    new_files: DataFrame,
+    state: IncrementalState | None = None,
+    cfg: ERConfig = ERConfig(),
+    id_col: str | None = None,
+) -> IncrementalState:
+    """Fold one batch of new rows into the resolved state.
+
+    Returns a NEW IncrementalState whose clusters equal a from-scratch
+    resolve() over all rows seen so far (same cfg, suppression off). The
+    frames in the returned state are materialized via localCheckpoint so
+    the lineage does not grow across increments (the same reason CC
+    checkpoints its frontier).
+    """
+    cfg = _no_suppress(cfg)
+    new_keyed_full = with_keys(new_files, cfg, id_col=id_col)
+    new_keyed = new_keyed_full.drop("content").localCheckpoint(eager=True)
+    new_content = (
+        new_keyed_full.select("row_id", "content").localCheckpoint(eager=True)
+    )
+
+    if state is None:
+        all_keyed, all_content = new_keyed, new_content
+        prior_edges = None
+    else:
+        all_keyed = state.keyed.unionByName(new_keyed)
+        all_content = state.content.unionByName(new_content)
+        prior_edges = state.clusters.filter(
+            F.col("row_id") != F.col("cluster_id")
+        ).select(
+            F.col("cluster_id").alias("src"), F.col("row_id").alias("dst")
+        )
+
+    # new flag via join (no driver-side id list): rows present in new_keyed
+    new_ids = new_keyed.select("row_id").withColumn("is_new", F.lit(True))
+    keyed_flagged = all_keyed.join(new_ids, "row_id", "left").withColumn(
+        "is_new", F.coalesce(F.col("is_new"), F.lit(False))
+    )
+
+    # exact-dup fast path over the COMBINED corpus: rep = min row_id per
+    # content_sha (deterministic regardless of how the corpus was split
+    # into increments); only new-involving exact edges are emitted — the
+    # old ones are inside prior clusters
+    reps = keyed_flagged.groupBy("content_sha").agg(
+        F.min("row_id").alias("rep_id"), F.max("is_new").alias("any_new")
+    )
+    exact_edges = (
+        keyed_flagged.select("row_id", "content_sha", "is_new")
+        .join(reps, "content_sha")
+        .filter(F.col("row_id") != F.col("rep_id"))
+        .filter(F.col("is_new") | F.col("any_new"))
+        .select(F.col("rep_id").alias("src"), F.col("row_id").alias("dst"))
+    )
+    rep_rows = keyed_flagged.join(
+        reps.select(F.col("rep_id").alias("row_id")), "row_id", "left_semi"
+    ).persist()
+
+    blocks = block_candidates(rep_rows, cfg)  # carries is_new
+    pairs = candidate_pairs(blocks, cfg).persist()
+    n_pairs = pairs.count()
+    scored = score_pairs(pairs, rep_rows, cfg, content_df=all_content)
+    near_edges = matched_edges(scored, cfg)
+
+    edges = near_edges.unionByName(exact_edges)
+    if prior_edges is not None:
+        edges = edges.unionByName(prior_edges)
+    clusters = connected_components(
+        edges.distinct(), all_ids=all_keyed.select("row_id"),
+        assume_distinct=True,
+    )
+    pairs.unpersist()
+    rep_rows.unpersist()
+    return IncrementalState(
+        keyed=all_keyed.localCheckpoint(eager=True),
+        content=all_content,
+        clusters=clusters,
+        n_pairs_scored=n_pairs,
+    )

@@ -122,7 +122,9 @@ def test_shingle_suppression_removes_boilerplate_pairs(spark):
     )
 
     cfg_off = ERConfig(suppress_shingle_df=None)
-    cfg_on = ERConfig(suppress_sample=1.0, suppress_min_df=4)
+    # suppress_min_corpus=0: the round-3 corpus-size gate would otherwise
+    # skip the census for this deliberately tiny boilerplate fixture
+    cfg_on = ERConfig(suppress_sample=1.0, suppress_min_df=4, suppress_min_corpus=0)
 
     bl = shingle_blacklist(df, cfg_on)
     assert bl is not None and len(bl) > 0  # the header shingles
