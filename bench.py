@@ -125,6 +125,16 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("sim_topk", sim)
 
+    # corpus-scale ANN: every embedding row queries the index (round-3) —
+    # shuffle bucket join, nothing broadcast except the 256-row census
+    def ann():
+        from entitylinking_spark.operators.similarity import lsh_topk_shuffle
+
+        q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        return lsh_topk_shuffle(emb, q, k=10, n_planes=8, probe_bits=1, dim=64).count()
+
+    timed("ann_shuffle", ann)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {

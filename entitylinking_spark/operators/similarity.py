@@ -53,11 +53,17 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     """
     q = F.broadcast(
         queries.select(F.col(qid_col).alias("_qid"), F.col(qvec_col).alias("_qvec"))
+        .withColumn("_qn", norm(F.col("_qvec")))
     )
-    scored = embeddings.crossJoin(q).select(
+    # norms once per row, dot once per pair (same arithmetic as cosine_sim;
+    # higher-order fns are interpreted, so per-pair norm recompute is ~3x)
+    denom = F.col("_n") * F.col("_qn")
+    scored = embeddings.withColumn("_n", norm(F.col(vec_col))).crossJoin(q).select(
         F.col("_qid").alias("query_id"),
         F.col(id_col).alias("vec_id"),
-        cosine_sim(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(dot(F.col(vec_col), F.col("_qvec")) / denom)
+        .alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -145,8 +151,39 @@ def srp_planes(n_planes: int, dim: int, tag: str = "srp") -> list[list[int]]:
     ]
 
 
+def make_srp_bucket_udf(planes: list[list[int]]):
+    """Arrow-batched SRP bucket kernel: floor-quantize, one int64 matmul
+    per batch. Integer arithmetic is order-independent, so the values are
+    BIT-IDENTICAL to srp_bucket_expr / the DuckDB oracle — this is purely
+    the throughput kernel (the interpreted HOF expression measured
+    ~1.7 ms/row at dim=64; the matmul is ~1 µs/row)."""
+    arr = np.array(planes, dtype=np.int64)  # (P, D)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        q = np.floor(mat * float(_SRP_QUANT)).astype(np.int64)
+        dots = q @ arr[:, : mat.shape[1]].T  # (N, P) exact int64
+        out = np.zeros(len(vecs), dtype=np.int64)
+        for p in range(arr.shape[0]):
+            out |= (dots[:, p] > 0).astype(np.int64) << p
+        return pd.Series(out)
+
+    return bucket
+
+
 def srp_bucket_expr(vec_col: Column, planes: list[list[int]]) -> Column:
-    """JVM-native SRP bucket id from quantized planes (see module note)."""
+    """JVM-native SRP bucket id from quantized planes (see module note).
+
+    The relational twin of make_srp_bucket_udf (identical integer values);
+    kept for SQL-parity documentation and no-Python contexts. Stays in the
+    higher-order-function form deliberately: an unrolled flat expression
+    (dim x n_planes multiply-add nodes) was tried and measured WORSE — the
+    tree blows up every optimizer pass and codegen compile, and at dim=64
+    the 9-way probe duplication OOMed the driver. The HOF form is one
+    compact tree evaluated once per row."""
     q = F.transform(
         vec_col, lambda x: F.floor(x.cast("double") * _SRP_QUANT).cast("long")
     )
@@ -178,12 +215,25 @@ def _probe_buckets(bucket: Column, n_planes: int, probe_bits: int) -> Column:
     return F.array_distinct(F.array(*probes))
 
 
+@F.pandas_udf(T.DoubleType())
+def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched dot product: one BLAS einsum per batch. The scale
+    kernel for pair-heavy cosine work — Catalyst higher-order functions
+    are interpreted per element, measured ~4x slower at ~1M pairs."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.array(a.tolist(), dtype=np.float64)
+    mb = np.array(b.tolist(), dtype=np.float64)
+    return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+
 def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                      n_planes: int = 8, probe_bits: int = 1,
                      bucket_cap: int = 2_000, dim: int | None = None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "query_id", qvec_col: str = "embedding",
-                     planes: list[list[int]] | None = None) -> DataFrame:
+                     planes: list[list[int]] | None = None,
+                     kernel: str = "native") -> DataFrame:
     """Corpus-scale approximate top-k: shuffle bucket equi-join, salted.
 
     The 100 TB path for "every mention queries the index"
@@ -205,10 +255,19 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             )
         planes = srp_planes(n_planes, dim)
     n_planes = len(planes)
+    dim = len(planes[0]) if planes else dim
 
+    # per-row norms are computed ONCE here, so the per-pair work inside the
+    # join is a single dot product (Catalyst higher-order functions are
+    # interpreted, not codegen'd — recomputing two norms per candidate pair
+    # measured ~3x the whole query cost). dot/(n_l*n_r) keeps the exact
+    # arithmetic of cosine_sim, so the DuckDB oracle parity is unchanged.
+    bucket_udf = make_srp_bucket_udf(planes)
     corp = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_vec")
-    ).withColumn("bucket", srp_bucket_expr(F.col("_vec"), planes))
+    ).withColumn("bucket", bucket_udf(F.col("_vec"))).withColumn(
+        "_n", norm(F.col("_vec"))
+    )
     census = corp.groupBy("bucket").agg(
         F.ceil(F.count("*") / F.lit(bucket_cap)).cast("int").alias("n_salt")
     )
@@ -218,24 +277,32 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         "salt", F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int")
     )
 
-    q = queries.select(
+    # the bucket kernel runs ONCE into _b0 (ArrowEvalPython is its own plan
+    # node, never inlined into the 9+ probe slots)
+    qb = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("_qvec")
-    ).withColumn(
+    ).withColumn("_b0", bucket_udf(F.col("_qvec")))
+    q = qb.withColumn(
         "bucket",
-        F.explode(
-            _probe_buckets(
-                srp_bucket_expr(F.col("_qvec"), planes), n_planes, probe_bits
-            )
-        ),
-    )
+        F.explode(_probe_buckets(F.col("_b0"), n_planes, probe_bits)),
+    ).drop("_b0").withColumn("_qn", norm(F.col("_qvec")))
     # inner census join drops probes into empty buckets before the big join
     q = q.join(F.broadcast(census), "bucket").withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
     )
 
+    # kernel: 'native' = JVM fold, bit-exact sequential sum (the DuckDB
+    # oracle twin); 'arrow' = batched BLAS einsum, the throughput kernel
+    # for pair-heavy runs (sum order differs in the last ulp — fine
+    # everywhere except exact cross-engine value checks)
+    if kernel == "arrow":
+        dot_pair = _dot_arrow(F.col("_vec"), F.col("_qvec"))
+    else:
+        dot_pair = dot(F.col("_vec"), F.col("_qvec"))
+    denom = F.col("_n") * F.col("_qn")
     scored = corp.join(q, ["bucket", "salt"]).select(
         "query_id", "vec_id",
-        cosine_sim(F.col("_vec"), F.col("_qvec")).alias("cosine"),
+        F.when(denom == 0, F.lit(0.0)).otherwise(dot_pair / denom).alias("cosine"),
     )
     # multi-probe buckets are disjoint (each corpus vector hashes to exactly
     # one bucket), so no (query_id, vec_id) dedup is needed before ranking

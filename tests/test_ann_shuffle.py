@@ -108,6 +108,12 @@ def test_bucket_expr_deterministic_and_integer(spark):
 
     for vid, vec in rows[:8]:
         assert py_bucket(vec) == b1[vid]
+    # the Arrow matmul kernel is bit-identical to the relational expression
+    from entitylinking_spark.operators.similarity import make_srp_bucket_udf
+
+    udf = make_srp_bucket_udf(planes)
+    b3 = {r["vec_id"]: r["b"] for r in emb.select("vec_id", udf(F.col("embedding")).alias("b")).collect()}
+    assert b3 == b1
 
 
 def test_probe_bits_monotone_best(clustered):
