@@ -80,14 +80,21 @@ def winnow_fingerprints(docs: DataFrame, id_col: str = "doc_id",
     sorted, joined into one string per document. Documents with fewer grams
     than `window` keep the min of what they have; empty documents get ''.
     """
-    toks = tokenize(text_col)
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.filter(F.array(F.array_join(toks, " ")), lambda s: F.length(s) > 0))
+    # token array bound once as a lambda variable (see strings.ngram_set:
+    # inlining the tokenize expression into the per-position lambda
+    # re-splits the document for every gram position — O(len^2) per row)
+    def _build_grams(toks):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(
+            F.filter(F.array(F.array_join(toks, " ")), lambda s: F.length(s) > 0)
+        )
+
+    grams = F.element_at(F.transform(F.array(tokenize(text_col)), _build_grams), 1)
     g = (
         docs.select(F.col(id_col).alias("_id"), grams.alias("_grams"))
         .select("_id", F.size("_grams").alias("_n"), F.posexplode("_grams").alias("pos", "gram"))

@@ -61,17 +61,29 @@ def levenshtein_sim(a: str | Column, b: str | Column) -> Column:
 def ngram_set(text_col: str | Column, n: int) -> Column:
     """Distinct token n-gram set of a string (JVM-native). n<=1 -> distinct
     tokens. The exact-verification space for MinHash candidates (shingle_k
-    in functions/hashing.py plays the approximate role of the same grams)."""
-    toks = tokenize(text_col)
+    in functions/hashing.py plays the approximate role of the same grams).
+
+    The token array is bound ONCE as a lambda variable through a
+    single-element outer transform. Referencing the tokenize expression
+    directly inside the per-position lambda re-evaluates the full regex
+    split of the document for EVERY n-gram position — O(len^2) per row,
+    interpreted (round-3 thread-dump finding: one verify_ngram=3 task
+    burned 19 CPU-minutes in UTF8String.split). The lambda-variable form
+    is collapse-proof: Catalyst cannot inline into a lambda binding."""
+    toks_expr = tokenize(text_col)
     if n <= 1:
-        return F.array_distinct(toks)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )),
-    ).otherwise(F.array_distinct(toks))
+        return F.array_distinct(toks_expr)
+
+    def build(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )),
+        ).otherwise(F.array_distinct(toks))
+
+    return F.element_at(F.transform(F.array(toks_expr), build), 1)
 
 
 def exact_jaccard(a: str | Column, b: str | Column) -> Column:

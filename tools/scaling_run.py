@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--rows", type=int, default=200_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--gen-only", action="store_true")
+    # CPU-heavy config (verdict r2 #10): verify_ngram=3 multiplies the
+    # verify-join compute so the run leaves the memory-bandwidth-bound
+    # regime — used to test where 8->32 speedup recovers on this one-VM box
+    ap.add_argument("--verify-ngram", type=int, default=None)
     args = ap.parse_args()
 
     path = gen(args.rows)
@@ -67,9 +71,11 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(path)
 
+    cfg = ERConfig() if args.verify_ngram is None else ERConfig(verify_ngram=args.verify_ngram)
+
     def one_run():
         t0 = time.time()
-        res = resolve(df, ERConfig(), id_col="row_id", collect_metrics=False)
+        res = resolve(df, cfg, id_col="row_id", collect_metrics=False)
         n_pairs = res.scored_pairs.count()
         n_rows = res.clusters.count()
         dt = time.time() - t0
@@ -81,6 +87,7 @@ def main():
     med = sorted(walls)[len(walls) // 2]
     print(json.dumps({
         "cpus": args.cpus, "rows": n_rows, "pairs": n_pairs,
+        "verify_ngram": args.verify_ngram,
         "warmup_s": round(warmup_s, 2), "wall_s_reps": walls,
         "wall_s": med, "pairs_per_sec": round(n_pairs / med, 1),
         # rows/sec is the scale-meaningful throughput: round 2 cut pair
