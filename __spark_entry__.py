@@ -634,8 +634,13 @@ def g5_overlapping_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 overlapping tournament groups (size 3, overlap 2) over per-nation
     supplier rankings — the named operator for the reference's
     _create_overlapping_groups (graph_system.py:702-752). The coverage
-    repair path (unreachable at stride 1) is parity-tested in
-    tests/test_overlapping_groups.py against a port of the reference loop."""
+    repair path (unreachable at stride 1) has its own oracle at stride 2
+    (`g5_stride2_repair`) and is parity-tested in
+    tests/test_overlapping_groups.py against a port of the reference loop.
+
+    The member list is emitted as a comma-joined string (not array<string>):
+    the driver's canonicalizer sorts output columns with pandas, which
+    cannot hash list-typed cells (the a2_collect_sorted pattern)."""
     from entitylinking_spark.operators.ranking import overlapping_groups
 
     s = _t(spark, sf_dir, "supplier").select(
@@ -645,6 +650,11 @@ def g5_overlapping_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         overlapping_groups(s, group_size=3, overlap=2)
+        .select(
+            "mention_id", "group_id",
+            F.array_join(F.col("entity_ids").cast("array<string>"), ",")
+            .alias("entity_ids"),
+        )
         .orderBy("mention_id", "group_id")
     )
 
@@ -671,12 +681,121 @@ groups AS (
   FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
 )
 SELECT r.mention_id, g.group_id,
-       list(r.entity_id ORDER BY r.pos) AS entity_ids
+       array_to_string(list(CAST(r.entity_id AS VARCHAR) ORDER BY r.pos), ',')
+         AS entity_ids
 FROM ranked r JOIN groups g
   ON r.mention_id = g.mention_id
  AND r.pos >= g.start AND r.pos < g.start + g.win
 GROUP BY r.mention_id, g.group_id
 ORDER BY r.mention_id, g.group_id
+"""
+
+
+def g5_repair_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 coverage-repair path under oracle: group_size=3, overlap=0 over
+    the top-13 docs per lang (13 = 1 mod 3), so the tail window has one
+    member, is skipped (reference graph_system.py:713-714 "at least 2
+    candidates"), and the uncovered doc is repaired into the group with
+    the best word-overlap similarity (graph_system.py:735-752). The
+    DuckDB oracle recomputes the whole flow including the similarity
+    argmax. Members emitted as a comma-joined string (driver canon)."""
+    from entitylinking_spark.operators.ranking import overlapping_groups
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    capped = (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 13)
+        .select(
+            F.col("lang").alias("mention_id"),
+            F.col("doc_id").alias("entity_id"),
+            F.col("n_chars").alias("score"),
+            "text",
+        )
+    )
+    return (
+        overlapping_groups(capped, group_size=3, overlap=0, text_col="text")
+        .select(
+            "mention_id", "group_id",
+            F.array_join(F.col("entity_ids").cast("array<string>"), ",")
+            .alias("entity_ids"),
+        )
+        .orderBy("mention_id", "group_id")
+    )
+
+
+G5_REPAIR_SQL = r"""
+WITH ranked AS (
+  SELECT * FROM (
+    SELECT lang AS mention_id, doc_id AS entity_id, text,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) - 1 AS pos
+    FROM documents
+  ) WHERE pos < 13
+),
+meta AS (SELECT mention_id, COUNT(*) AS n FROM ranked GROUP BY mention_id),
+small AS (
+  SELECT mention_id, 0 AS start, n AS win FROM meta WHERE n <= 3
+),
+big AS (
+  SELECT mention_id, start, 3 AS win FROM (
+    SELECT mention_id, n, unnest(range(0, n + 1, 3)) AS start
+    FROM meta WHERE n > 3
+  ) WHERE (start = 0 OR start - 3 + 3 < n) AND n - start >= 2
+),
+groups AS (
+  SELECT mention_id, start, win,
+         ROW_NUMBER() OVER (PARTITION BY mention_id ORDER BY start) - 1 AS group_id
+  FROM (SELECT * FROM small UNION ALL SELECT * FROM big)
+),
+members AS (
+  SELECT r.mention_id, r.entity_id, r.pos, r.text, g.group_id
+  FROM ranked r JOIN groups g
+    ON r.mention_id = g.mention_id
+   AND r.pos >= g.start AND r.pos < g.start + g.win
+),
+gtext AS (
+  SELECT mention_id, group_id,
+         list_distinct(list_filter(
+           string_split_regex(lower(string_agg(text, ' ')), '\s+'),
+           x -> x <> '')) AS gw
+  FROM members GROUP BY mention_id, group_id
+),
+missing AS (
+  SELECT r.mention_id, r.entity_id, r.pos,
+         list_distinct(list_filter(
+           string_split_regex(lower(r.text), '\s+'), x -> x <> '')) AS cw
+  FROM ranked r
+  LEFT JOIN (SELECT DISTINCT mention_id, pos FROM members) m
+    ON r.mention_id = m.mention_id AND r.pos = m.pos
+  WHERE m.pos IS NULL
+),
+repair AS (
+  SELECT mention_id, entity_id, group_id, pos FROM (
+    SELECT mi.mention_id, mi.entity_id, g.group_id,
+           mi.pos + 1000000 AS pos,
+           CAST(len(list_intersect(mi.cw, g.gw)) AS DOUBLE)
+             / greatest(len(mi.cw), len(g.gw), 1) AS sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY mi.mention_id, mi.pos
+             ORDER BY CAST(len(list_intersect(mi.cw, g.gw)) AS DOUBLE)
+                        / greatest(len(mi.cw), len(g.gw), 1) DESC,
+                      g.group_id) AS rk
+    FROM missing mi JOIN gtext g ON mi.mention_id = g.mention_id
+    WHERE CAST(len(list_intersect(mi.cw, g.gw)) AS DOUBLE)
+            / greatest(len(mi.cw), len(g.gw), 1) > 0.1
+  ) WHERE rk = 1
+),
+allm AS (
+  SELECT mention_id, entity_id, group_id, pos FROM members
+  UNION ALL
+  SELECT mention_id, entity_id, group_id, pos FROM repair
+)
+SELECT mention_id, group_id,
+       array_to_string(list(CAST(entity_id AS VARCHAR) ORDER BY pos), ',')
+         AS entity_ids
+FROM allm GROUP BY mention_id, group_id
+ORDER BY mention_id, group_id
 """
 
 
@@ -1466,6 +1585,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "a7_recall_at_k": (a7_recall_at_k, A7_SQL),
     "ann_topk_shuffle": (ann_topk_shuffle, ANN_TOPK_SQL),
     "g5_overlapping_groups": (g5_overlapping_groups, G5_SQL),
+    "g5_repair_oracle": (g5_repair_oracle, G5_REPAIR_SQL),
     "er_clusters": (er_clusters, ER_CLUSTERS_SQL),
     "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_SQL),
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),

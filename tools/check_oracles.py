@@ -31,7 +31,30 @@ def _norm(v):
     return v
 
 
+def reject_complex_columns(spark_df):
+    """The driver's canonicalizer sorts output columns with pandas, which
+    cannot factorize list/dict cells — an array/map/struct output column is
+    a guaranteed driver red row (rounds 1 and 3) even when values match.
+    Fail loudly here so local green implies driver green."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        return (
+            f"COMPLEX-TYPE output columns {bad}: driver canon cannot sort "
+            "array/map/struct cells — emit array_join(...) / explode instead"
+        )
+    return None
+
+
 def compare(spark_df, duck_rows, duck_cols):
+    err = reject_complex_columns(spark_df)
+    if err:
+        return err
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
     if s_cols != d_cols:
