@@ -227,32 +227,71 @@ def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
 
+def auto_n_planes(corpus_count: int, bucket_cap: int = 2_000,
+                  lo: int = 4, hi: int = 24) -> int:
+    """Plane count targeting E[bucket size] ~= bucket_cap: the number of
+    buckets must grow WITH the corpus (2^n_planes ~= N / cap), otherwise
+    bucket size — and with it both join-task size and the query-side salt
+    replication — grows linearly in N (round-3 verdict #3). Clamped:
+    below `lo` the probe set is too coarse to discriminate; above `hi`
+    the 1-bit multi-probe fan-out (n_planes + 1 probes/query) dominates.
+    At N=10^9, cap=2000: n_planes = 19 -> 2^19 buckets, E[size] ~= 1900,
+    n_salt ~= 1, probes/query = 20."""
+    import math
+
+    need = max(1, int(math.ceil(corpus_count / max(1, bucket_cap))))
+    return max(lo, min(hi, int(math.ceil(math.log2(need))) if need > 1 else lo))
+
+
 def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
-                     n_planes: int = 8, probe_bits: int = 1,
+                     n_planes: int | None = None, probe_bits: int = 1,
                      bucket_cap: int = 2_000, dim: int | None = None,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      qid_col: str = "query_id", qvec_col: str = "embedding",
                      planes: list[list[int]] | None = None,
-                     kernel: str = "native") -> DataFrame:
+                     kernel: str = "native",
+                     corpus_count: int | None = None, max_salt: int = 64,
+                     metrics=None) -> DataFrame:
     """Corpus-scale approximate top-k: shuffle bucket equi-join, salted.
 
     The 100 TB path for "every mention queries the index"
     (/root/reference/Sparkle/database.py:165-183): neither side is
     broadcast. Corpus vectors hash to one SRP bucket each; queries probe
     their bucket plus all buckets within `probe_bits` bit flips (recall
-    knob). Hot buckets are salted: a bucket of size S gets ceil(S/cap)
-    salt groups, corpus rows land in one group (hash of id), query probes
-    replicate across groups — no join task reads more than `bucket_cap`
-    corpus rows of one bucket, the standard bipartite skew treatment
-    (salting changes task boundaries, never results). Per-query rank
-    window yields (query_id, vec_id, cosine, rank<=k), ties broken by
-    vec_id — the same contract as brute_force_topk.
+    knob). Hot buckets are salted: a bucket of size S gets
+    min(ceil(S/cap), max_salt) salt groups, corpus rows land in one group
+    (hash of id), query probes replicate across groups — no join task
+    reads more than ~`bucket_cap` corpus rows of one bucket, the standard
+    bipartite skew treatment (salting changes task boundaries, never
+    results). Per-query rank window yields (query_id, vec_id, cosine,
+    rank<=k), ties broken by vec_id — the same contract as
+    brute_force_topk.
+
+    Scale-proofing (round-3 verdict #3):
+      * `n_planes=None` (default) derives the plane count from the corpus
+        size via auto_n_planes, so E[bucket] tracks `bucket_cap` instead
+        of N/2^8 — pass `corpus_count` to skip the count job when known.
+      * only HOT buckets (size > bucket_cap) enter the broadcast census;
+        everything else defaults to n_salt=1 via left join + coalesce.
+        With auto-sized planes the hot set is the skew tail only, so the
+        broadcast stays O(skewed buckets), not O(2^n_planes), at any N.
+      * query-side replication is bounded by `max_salt`: a degenerate
+        bucket (e.g. 10^6 identical vectors) costs at most max_salt query
+        replicas; its per-task corpus rows then exceed bucket_cap, which
+        AQE skew-split handles — bounded replication is the right trade
+        against unbounded query fan-out.
+      * pass `metrics` (MetricsCollector) to record the bucket census
+        (n_buckets, max/mean size, hot count, max n_salt, plane count).
     """
     if planes is None:
         if dim is None:
             dim = len(
                 embeddings.select(F.col(vec_col)).first()[0]
             )
+        if n_planes is None:
+            if corpus_count is None:
+                corpus_count = embeddings.count()
+            n_planes = auto_n_planes(corpus_count, bucket_cap)
         planes = srp_planes(n_planes, dim)
     n_planes = len(planes)
     dim = len(planes[0]) if planes else dim
@@ -268,12 +307,32 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     ).withColumn("bucket", bucket_udf(F.col("_vec"))).withColumn(
         "_n", norm(F.col("_vec"))
     )
-    census = corp.groupBy("bucket").agg(
-        F.ceil(F.count("*") / F.lit(bucket_cap)).cast("int").alias("n_salt")
+    census = corp.groupBy("bucket").agg(F.count("*").alias("_bsize"))
+    if metrics is not None:
+        stats = census.agg(
+            F.count("*").alias("n_buckets"),
+            F.max("_bsize").alias("max_bucket"),
+            F.avg("_bsize").alias("mean_bucket"),
+            F.sum((F.col("_bsize") > bucket_cap).cast("long")).alias("n_hot"),
+            F.max(F.least(F.ceil(F.col("_bsize") / bucket_cap),
+                          F.lit(max_salt))).alias("max_n_salt"),
+        ).collect()[0].asDict()
+        metrics.record(
+            "ann_bucket_census", n_planes=n_planes, bucket_cap=bucket_cap,
+            max_salt=max_salt,
+            **{kk: (float(v) if v is not None else None) for kk, v in stats.items()},
+        )
+    # only the skew tail is broadcast: buckets at or under cap default to
+    # n_salt=1 through the left join, so the broadcast is O(hot buckets)
+    # regardless of corpus size (2^n_planes grows with N under auto-sizing)
+    hot = census.filter(F.col("_bsize") > bucket_cap).select(
+        "bucket",
+        F.least(F.ceil(F.col("_bsize") / bucket_cap).cast("int"),
+                F.lit(max_salt)).alias("n_salt"),
     )
-    # census has <= 2^n_planes rows — always broadcast (the bucket-size
-    # lookup must not cost a shuffle of the corpus)
-    corp = corp.join(F.broadcast(census), "bucket").withColumn(
+    corp = corp.join(F.broadcast(hot), "bucket", "left").withColumn(
+        "n_salt", F.coalesce(F.col("n_salt"), F.lit(1))
+    ).withColumn(
         "salt", F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int")
     )
 
@@ -286,8 +345,11 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         "bucket",
         F.explode(_probe_buckets(F.col("_b0"), n_planes, probe_bits)),
     ).drop("_b0").withColumn("_qn", norm(F.col("_qvec")))
-    # inner census join drops probes into empty buckets before the big join
-    q = q.join(F.broadcast(census), "bucket").withColumn(
+    # probes into cold buckets replicate once (coalesce -> 1); probes into
+    # empty buckets survive to the join and match nothing — results equal
+    q = q.join(F.broadcast(hot), "bucket", "left").withColumn(
+        "n_salt", F.coalesce(F.col("n_salt"), F.lit(1))
+    ).withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
     )
 
@@ -308,3 +370,29 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     # one bucket), so no (query_id, vec_id) dedup is needed before ranking
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ann_recall_report(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+                      sample_n: int = 50, metrics=None,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "query_id", qvec_col: str = "embedding",
+                      **lsh_kwargs) -> dict:
+    """Measured recall@k of lsh_topk_shuffle vs brute_force_topk on a
+    sampled query subset, recorded into `metrics` — the tuning loop for
+    the n_planes / probe_bits / bucket_cap knobs from a report instead of
+    a rerun (round-3 verdict #9). The sample is the first `sample_n`
+    queries by qid (deterministic)."""
+    qs = queries.orderBy(qid_col).limit(sample_n)
+    cols = dict(id_col=id_col, vec_col=vec_col,
+                qid_col=qid_col, qvec_col=qvec_col)
+    exact = brute_force_topk(embeddings, qs, k=k, **cols)
+    approx = lsh_topk_shuffle(embeddings, qs, k=k, metrics=metrics,
+                              **cols, **lsh_kwargs)
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want) if want else 1.0
+    report = {"recall_at_k": recall, "k": k, "n_queries_sampled": sample_n,
+              "n_exact_pairs": len(want)}
+    if metrics is not None:
+        metrics.record("ann_recall", **report)
+    return report

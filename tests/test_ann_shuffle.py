@@ -126,3 +126,86 @@ def test_probe_bits_monotone_best(clustered):
     s1 = {r["query_id"]: r["m"] for r in p1.groupBy("query_id").agg(F.max("cosine").alias("m")).collect()}
     for r in s0:
         assert s1[r["query_id"]] >= r["m"] - 1e-12
+
+
+def test_auto_n_planes_scales_with_corpus():
+    from entitylinking_spark.operators.similarity import auto_n_planes
+
+    assert auto_n_planes(100, 2000) == 4          # tiny corpus -> floor
+    assert auto_n_planes(2000, 2000) == 4
+    assert auto_n_planes(1_000_000, 2000) == 9    # ceil(log2(500))
+    assert auto_n_planes(10**9, 2000) == 19
+    assert auto_n_planes(10**12, 2000) == 24      # clamped at hi
+    assert auto_n_planes(10**12, 2000, hi=32) == 29
+
+
+def test_auto_sizing_bounds_tasks_and_replication(clustered, spark):
+    """With n_planes unset and a deliberately small bucket_cap, auto-sizing
+    must (a) keep per-(bucket,salt) corpus cells <= ~2*bucket_cap, (b) keep
+    query-side replication <= max_salt per probe, (c) preserve recall, and
+    (d) emit the census telemetry (round-3 verdict #3 + #9)."""
+    from entitylinking_spark.metrics import MetricsCollector
+    from entitylinking_spark.operators.similarity import (
+        auto_n_planes, make_srp_bucket_udf,
+    )
+
+    emb, q = clustered  # 400 corpus rows
+    cap, max_salt = 10, 8
+    mc = MetricsCollector()
+    approx = lsh_topk_shuffle(emb, q, k=10, bucket_cap=cap,
+                              max_salt=max_salt, dim=DIM, metrics=mc)
+    exact = brute_force_topk(emb, q, k=10)
+    want = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.95, f"recall@10 = {recall}"
+
+    census = [s for s in mc.stages if s["stage"] == "ann_bucket_census"][0]
+    n_planes = census["n_planes"]
+    assert n_planes == auto_n_planes(400, cap) and n_planes >= 5
+    assert census["max_n_salt"] <= max_salt
+
+    # per-(bucket, salt) corpus cell bound under the derived plane count
+    planes_n = n_planes
+    from entitylinking_spark.operators.similarity import srp_planes
+
+    udf = make_srp_bucket_udf(srp_planes(planes_n, DIM))
+    cells = (
+        emb.withColumn("bucket", udf(F.col("embedding")))
+        .groupBy("bucket").count()
+        .withColumn("n_salt", F.least(F.ceil(F.col("count") / cap),
+                                      F.lit(max_salt)))
+        .select((F.col("count") / F.col("n_salt")).alias("cell"))
+        .agg(F.max("cell")).first()[0]
+    )
+    assert cells <= 2 * cap, f"per-task corpus rows {cells} > 2*cap"
+
+
+def test_degenerate_bucket_replication_capped(spark):
+    """10k identical vectors in one bucket: query replication stops at
+    max_salt instead of ceil(S/cap)."""
+    from entitylinking_spark.metrics import MetricsCollector
+
+    rows = [(i, [1.0] * DIM) for i in range(2000)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = spark.createDataFrame([(0, [1.0] * DIM)], ["query_id", "embedding"])
+    mc = MetricsCollector()
+    out = lsh_topk_shuffle(emb, q, k=5, bucket_cap=10, max_salt=16,
+                           dim=DIM, metrics=mc)
+    got = out.orderBy("rank").collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 2, 3, 4]
+    census = [s for s in mc.stages if s["stage"] == "ann_bucket_census"][0]
+    assert census["max_n_salt"] == 16  # capped, not ceil(2000/10)=200
+
+
+def test_ann_recall_report_keys(clustered):
+    from entitylinking_spark.metrics import MetricsCollector
+    from entitylinking_spark.operators.similarity import ann_recall_report
+
+    emb, q = clustered
+    mc = MetricsCollector()
+    rep = ann_recall_report(emb, q, k=10, sample_n=20, metrics=mc,
+                            dim=DIM, probe_bits=1)
+    assert rep["recall_at_k"] >= 0.9
+    stages = {s["stage"] for s in mc.stages}
+    assert {"ann_bucket_census", "ann_recall"} <= stages
