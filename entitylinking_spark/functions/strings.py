@@ -86,6 +86,19 @@ def ngram_set(text_col: str | Column, n: int) -> Column:
     return F.element_at(F.transform(F.array(toks_expr), build), 1)
 
 
+def ngram_hash_set(text_col: str | Column, n: int) -> Column:
+    """Distinct token n-gram set hashed to int64 (xxhash64 per gram).
+
+    The shuffle-narrow twin of ngram_set for verify joins: distinct grams
+    map to distinct hashes up to 2^-64 collisions, so intersection/union
+    CARDINALITIES — and therefore exact Jaccard — are unchanged, while the
+    shuffled payload drops from ~15-25 B per trigram string to 8 B per
+    long (round-3 NOTES: the trigram verify config is shuffle-bound; same
+    64-bit-key trick as block keys, blocking.py). Hashing happens BEFORE
+    the pair join, once per row."""
+    return F.transform(ngram_set(text_col, n), lambda g: F.xxhash64(g))
+
+
 def exact_jaccard(a: str | Column, b: str | Column) -> Column:
     """Exact Jaccard of two array columns; empty-vs-empty counts as 1.0."""
     inter = F.size(F.array_intersect(_c(a), _c(b))).cast("double")

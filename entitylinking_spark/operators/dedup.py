@@ -24,7 +24,7 @@ from entitylinking_spark.functions.hashing import (
     make_simhash_udf,
     minhash_similarity,
 )
-from entitylinking_spark.functions.strings import exact_jaccard, ngram_set
+from entitylinking_spark.functions.strings import exact_jaccard, ngram_hash_set, ngram_set
 from entitylinking_spark.operators.blocking import ERConfig
 from entitylinking_spark.operators.cc import connected_components
 from entitylinking_spark.operators.pairs import candidate_pairs
@@ -102,9 +102,11 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         # exact n-gram Jaccard verification on the candidates: MinHash only
         # generates candidates; the keep decision is exact (and therefore
         # oracle-checkable against DuckDB at small sf)
+        # int64-hashed grams: identical Jaccard (2^-64 collisions),
+        # ~3x fewer shuffled bytes through the two verify joins
         grams = docs.select(
             F.col(id_col).cast("string").alias("row_id"),
-            ngram_set(text_col, verify_ngram).alias("grams"),
+            ngram_hash_set(text_col, verify_ngram).alias("grams"),
         )
         gl = grams.select(F.col("row_id").alias("id_l"), F.col("grams").alias("g_l"))
         gr = grams.select(F.col("row_id").alias("id_r"), F.col("grams").alias("g_r"))
@@ -221,7 +223,7 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     d = docs.select(
         F.col(id_col).cast("string").alias("row_id"),
         F.concat_ws("\x1f", *[F.col(c) for c in block_cols]).alias("block_key"),
-        ngram_set(text_col, n).alias("grams"),
+        ngram_hash_set(text_col, n).alias("grams"),
     )
     # exhaustive semantics: salt/cap for task-size safety, but never skip a
     # block (skip_block_threshold is a sketch-channel concept)

@@ -35,7 +35,7 @@ from entitylinking_spark.functions.hashing import bbit_similarity, bbit_sketch
 from entitylinking_spark.functions.strings import (
     jaro_winkler_udf,
     levenshtein_sim,
-    ngram_set,
+    ngram_hash_set,
 )
 from entitylinking_spark.operators.blocking import ERConfig
 
@@ -141,8 +141,11 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
 
     if cfg.verify_jaccard:
         toks_src = content_df if content_df is not None else keyed
+        # int64-hashed grams: exact same intersection/union cardinalities
+        # (2^-64 collision risk), ~3x fewer shuffled bytes through the two
+        # verify joins — the round-3 shuffle-payload item
         toks = toks_src.select(
-            "row_id", ngram_set(F.col("content"), cfg.verify_ngram).alias("ctoks")
+            "row_id", ngram_hash_set(F.col("content"), cfg.verify_ngram).alias("ctoks")
         )
         tl = toks.select(F.col("row_id").alias("_tid_l"), F.col("ctoks").alias("ctoks_l"))
         tr = toks.select(F.col("row_id").alias("_tid_r"), F.col("ctoks").alias("ctoks_r"))
