@@ -1454,7 +1454,7 @@ def media_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entitylinking_spark.operators.multimodal import extract_features
 
     media = _media_table(spark, sf_dir).filter(F.col("doc_id") < 200).drop("doc_id")
-    feats = extract_features(media, dim=8)
+    feats = extract_features(media, dim=8, use_stub_decoder=True)
     return feats.select(
         "media_id", "kind", "n_bytes", "payload_sha",
         F.array_join(
@@ -1499,7 +1499,7 @@ def media_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from entitylinking_spark.operators.multimodal import extract_features
 
     media = _media_table(spark, sf_dir).drop("doc_id")
-    feats = extract_features(media, dim=4)
+    feats = extract_features(media, dim=4, use_stub_decoder=True)
     return feats.select("media_id", "kind", "n_bytes", "payload_sha").orderBy("media_id")
 
 

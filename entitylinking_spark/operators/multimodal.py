@@ -132,6 +132,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body = data[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(
+                    f"malformed WAV fmt chunk: {len(body)} bytes (< 16)"
+                )
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             raw = body
@@ -139,6 +143,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     audio_format, n_ch, rate, _, _, bits = fmt
+    # malformed-payload validation (ADVICE r3): a zero-channel fmt chunk
+    # must fail as a diagnosable per-payload ValueError, not a
+    # ZeroDivisionError inside the mapInPandas worker
+    if n_ch < 1:
+        raise ValueError(f"malformed WAV fmt chunk: n_channels={n_ch}")
     if audio_format != 1:
         raise NotImplementedError("only PCM WAV supported")
     if bits == 16:
@@ -187,16 +196,19 @@ def _real_decode(payload: bytes, dim: int) -> np.ndarray:
 
 
 def extract_features(media: DataFrame, dim: int = 16,
-                     use_stub_decoder: bool = True) -> DataFrame:
+                     use_stub_decoder: bool = False) -> DataFrame:
     """MEDIA rows -> per-item feature vectors via mapInPandas.
 
     mapInPandas (not a scalar UDF) because a real decoder wants batch-level
     control: shared decoder state per partition, early filtering of corrupt
     payloads, and per-batch memory bounds for large blobs.
 
-    use_stub_decoder=False decodes uncompressed payloads for real
-    (_real_decode: netpbm/BMP/WAV, pure numpy); True keeps the
-    deterministic md5-grid stand-in — the DuckDB-checkable plumbing path.
+    The DEFAULT decodes payloads for real (_real_decode: magic-sniffed
+    netpbm/BMP/WAV, pure numpy) and raises NotImplementedError on
+    compressed/unknown formats — a user calling with defaults gets real
+    features or a loud error, never silent fakes (round-3 verdict #5).
+    use_stub_decoder=True opts into the deterministic md5-grid stand-in —
+    the DuckDB-checkable plumbing path used by the driver demo query.
     """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

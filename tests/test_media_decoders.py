@@ -126,3 +126,42 @@ def test_extract_features_real_decoders(spark):
         assert got[mid]["n_bytes"] == len(payload)
     # image features from PPM and BMP of the SAME pixels agree exactly
     np.testing.assert_allclose(got["m1"]["feature"], got["m2"]["feature"], rtol=0)
+
+
+def test_default_path_decodes_real_formats(spark):
+    """With NO flag, PPM/BMP/WAV payloads produce real features (the
+    round-3 default flip: real decoder in, stub opt-in)."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    sig = (np.cos(np.arange(200)) * 20000).astype(np.int16)
+    rows = [
+        ("d1", "image", bytearray(make_ppm(img)), None),
+        ("d2", "audio", bytearray(make_wav(sig)), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>",
+    )
+    got = {r["media_id"]: r for r in extract_features(media, dim=8).collect()}
+    np.testing.assert_allclose(got["d1"]["feature"], _real_decode(make_ppm(img), 8), rtol=1e-6)
+    np.testing.assert_allclose(got["d2"]["feature"], _real_decode(make_wav(sig), 8), rtol=1e-6)
+
+
+def test_malformed_wav_raises_value_error():
+    """Zero-channel / truncated fmt chunks fail as diagnosable ValueErrors,
+    not ZeroDivisionError/struct.error inside the worker (ADVICE r3)."""
+    import struct as _struct
+
+    from entitylinking_spark.operators.multimodal import decode_wav
+
+    def wav_with_fmt(fmt_body: bytes) -> bytes:
+        data_chunk = b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt_body)) + fmt_body + data_chunk
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    zero_ch = _struct.pack("<HHIIHH", 1, 0, 8000, 16000, 2, 16)
+    with pytest.raises(ValueError, match="n_channels=0"):
+        decode_wav(wav_with_fmt(zero_ch))
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_wav(wav_with_fmt(b"\x01\x00\x01\x00"))  # 4-byte fmt chunk

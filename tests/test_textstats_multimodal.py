@@ -85,7 +85,7 @@ class TestMultimodal:
         )
 
     def test_extract_features_deterministic(self, spark):
-        out = {r["media_id"]: r for r in extract_features(self._media(spark), dim=8).collect()}
+        out = {r["media_id"]: r for r in extract_features(self._media(spark), dim=8, use_stub_decoder=True).collect()}
         assert len(out["i1"]["feature"]) == 8
         # same payload bytes + kind => identical stub features and sha
         assert out["i1"]["feature"] == out["i2"]["feature"]
@@ -93,9 +93,11 @@ class TestMultimodal:
         assert out["i1"]["payload_sha"] != out["v1"]["payload_sha"]
         assert out["a1"]["n_bytes"] == 2
 
-    def test_real_decoder_is_explicit_stub(self, spark):
+    def test_default_decoder_is_real_and_loud(self, spark):
+        """The DEFAULT path is the real decoder: unknown/compressed payloads
+        raise instead of producing silent md5-grid fakes (r3 verdict #5)."""
         with pytest.raises(Exception, match="NotImplementedError|decoding"):
-            extract_features(self._media(spark), use_stub_decoder=False).collect()
+            extract_features(self._media(spark)).collect()
 
     def test_frame_sample_plan(self, spark):
         out = frame_sample_plan(self._media(spark), every_n=10).collect()
