@@ -15,9 +15,16 @@ each increment resolves clusters WITHOUT re-scoring the old corpus:
     (tests/test_incremental.py proves it on fixtures).
 
 Correctness caveats (documented, enforced where cheap):
-  * shingle suppression must be OFF or pinned: a corpus-frequency
-    blacklist sampled from a grown corpus changes old rows' signatures.
-    resolve_increment forces suppress_shingle_df=None.
+  * shingle suppression is PINNED (round-3 verdict #6): the blacklist is
+    censused ONCE on the first increment and carried in IncrementalState,
+    so old rows' signatures stay stable across increments AND boilerplate
+    suppression survives incremental mode. The equivalence contract is
+    incremental == batch-with-the-same-pinned-blacklist
+    (resolve(..., blacklist=state.blacklist)); a batch run that censuses
+    the grown corpus may suppress boilerplate that only became frequent
+    after the first increment — recall-equivalent when boilerplate is
+    present from the start, which is the license-header case the
+    suppression exists for.
   * a block crossing skip_block_threshold only as the corpus grows was
     partially paired in earlier increments; batch would skip it entirely.
     The skip threshold marks boilerplate bands, where scored pairs are
@@ -26,14 +33,14 @@ Correctness caveats (documented, enforced where cheap):
 
 from __future__ import annotations
 
-import dataclasses
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
 from entitylinking_spark.operators.blocking import (
     ERConfig,
     block_candidates,
+    shingle_blacklist,
     with_keys,
 )
 from entitylinking_spark.operators.cc import connected_components
@@ -56,12 +63,10 @@ class IncrementalState:
     content: DataFrame
     clusters: DataFrame
     n_pairs_scored: int = 0
-
-
-def _no_suppress(cfg: ERConfig) -> ERConfig:
-    if cfg.suppress_shingle_df is None:
-        return cfg
-    return dataclasses.replace(cfg, suppress_shingle_df=None)
+    # shingle blacklist pinned at the FIRST increment (numpy uint64 or
+    # None): reused verbatim by every later increment so old signatures
+    # stay stable while boilerplate suppression stays on
+    blacklist: object = field(default=None, repr=False)
 
 
 def resolve_increment(
@@ -73,13 +78,21 @@ def resolve_increment(
     """Fold one batch of new rows into the resolved state.
 
     Returns a NEW IncrementalState whose clusters equal a from-scratch
-    resolve() over all rows seen so far (same cfg, suppression off). The
-    frames in the returned state are materialized via localCheckpoint so
-    the lineage does not grow across increments (the same reason CC
-    checkpoints its frontier).
+    resolve() over all rows seen so far (same cfg, same pinned blacklist —
+    see the module caveat). The frames in the returned state are
+    materialized via localCheckpoint so the lineage does not grow across
+    increments (the same reason CC checkpoints its frontier).
     """
-    cfg = _no_suppress(cfg)
-    new_keyed_full = with_keys(new_files, cfg, id_col=id_col)
+    if state is not None:
+        blacklist = state.blacklist
+    elif cfg.suppress_shingle_df is not None and \
+            new_files.count() >= cfg.suppress_min_corpus:
+        # censused once, here, on the first increment — PINNED thereafter
+        blacklist = shingle_blacklist(new_files, cfg)
+    else:
+        blacklist = None
+    new_keyed_full = with_keys(new_files, cfg, id_col=id_col,
+                               blacklist=blacklist)
     new_keyed = new_keyed_full.drop("content").localCheckpoint(eager=True)
     new_content = (
         new_keyed_full.select("row_id", "content").localCheckpoint(eager=True)
@@ -141,4 +154,5 @@ def resolve_increment(
         content=all_content,
         clusters=clusters,
         n_pairs_scored=n_pairs,
+        blacklist=blacklist,
     )

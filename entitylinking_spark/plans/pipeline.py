@@ -82,8 +82,14 @@ def resolve(
     checkpoint_dir: str | None = None,
     spark: SparkSession | None = None,
     collect_metrics: bool = True,
+    blacklist=None,
 ) -> ERResult:
-    """Run the full ER pipeline; returns lazy DataFrames + metrics."""
+    """Run the full ER pipeline; returns lazy DataFrames + metrics.
+
+    `blacklist`: optional pre-computed shingle blacklist (numpy uint64 from
+    shingle_blacklist) — used as-is, skipping the census. This is how a
+    PINNED blacklist (plans/incremental.py) is replayed against a batch run
+    for equivalence checks."""
     spark = spark or repo_files.sparkSession
     store = CheckpointStore(checkpoint_dir, spark)
     fp = _fingerprint(cfg, repo_files, id_col) if store.enabled else None
@@ -95,8 +101,8 @@ def resolve(
     # boilerplate-band negatives — suppressing their shingles removes the
     # pairs at the source (the dominant cost at scale was generating and
     # scoring them, not the census).
-    blacklist = None
-    if cfg.suppress_shingle_df is not None and not store.is_complete("keyed", fingerprint=fp):
+    if blacklist is None and cfg.suppress_shingle_df is not None \
+            and not store.is_complete("keyed", fingerprint=fp):
         # corpus-size gate (round-2 verdict #2): below suppress_min_corpus
         # the census is fixed cost with no pair explosion to prevent —
         # one count() (metadata-only on parquet) decides
@@ -105,6 +111,9 @@ def resolve(
         if collect_metrics:
             m.record("shingle_suppression",
                      n_suppressed=0 if blacklist is None else int(len(blacklist)))
+    elif blacklist is not None and collect_metrics:
+        m.record("shingle_suppression", pinned=True,
+                 n_suppressed=int(len(blacklist)))
 
     keyed_full = store.get_or_compute(
         "keyed", lambda: with_keys(repo_files, cfg, id_col=id_col, blacklist=blacklist),
