@@ -17,10 +17,24 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def validate_fingerprint(fp: str) -> str:
+    """Fingerprints are interpolated into ALTER TABLE SQL: restrict to a
+    safe charset (ours are hex; ADVICE r3 — a quote would break the
+    statement / open an injection surface if fingerprints ever derive
+    from user-supplied config strings)."""
+    if not re.fullmatch(r"[0-9a-zA-Z_.:-]+", str(fp)):
+        raise ValueError(
+            f"unsafe checkpoint fingerprint {fp!r}: expected only "
+            "[0-9a-zA-Z_.:-]"
+        )
+    return str(fp)
 
 
 class CheckpointStore:
@@ -104,7 +118,7 @@ class CheckpointStore:
                 # property for stale-stage invalidation
                 self.spark.sql(
                     f"ALTER TABLE {tbl} SET TBLPROPERTIES "
-                    f"('{self._FP_PROP}'='{fp}')"
+                    f"('{self._FP_PROP}'='{validate_fingerprint(fp)}')"
                 )
             return self.spark.read.table(tbl)
         path = self._dir(stage)

@@ -115,8 +115,21 @@ class ERConfig:
         # the checkpoint fingerprint, so resumes stay consistent.
         if self.coarse_bands * self.coarse_rows > self.num_perm:
             rows = min(self.coarse_rows, self.num_perm)
+            bands = max(1, self.num_perm // rows)
+            # visible clamp (ADVICE r3): silent absorption hid config typos
+            # that change coarse-gate selectivity — warn so explicitly-
+            # misconfigured gates stay diagnosable while internally-built
+            # small-num_perm configs keep working
+            import warnings
+
+            warnings.warn(
+                f"coarse gate clamped to fit num_perm={self.num_perm}: "
+                f"coarse_bands {self.coarse_bands}->{bands}, "
+                f"coarse_rows {self.coarse_rows}->{rows}",
+                stacklevel=3,
+            )
             object.__setattr__(self, "coarse_rows", rows)
-            object.__setattr__(self, "coarse_bands", max(1, self.num_perm // rows))
+            object.__setattr__(self, "coarse_bands", bands)
 
     @property
     def len_ratio_floor(self) -> float:

@@ -65,6 +65,10 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     cfg = ERConfig(num_perm=num_perm, num_bands=num_bands,
                    rows_per_band=num_perm // num_bands, block_cap=block_cap,
                    tau=threshold,
+                   # the dedup channel never touches the coarse name gate:
+                   # size it to fit num_perm explicitly so the visible-clamp
+                   # warning (ADVICE r3) stays reserved for user typos
+                   coarse_bands=num_bands, coarse_rows=num_perm // num_bands,
                    # sound length prune only in verified mode: exact J <=
                    # min/max of gram-set sizes, so ratio < threshold cannot
                    # match; estimate mode keeps every banded candidate

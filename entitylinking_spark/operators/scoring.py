@@ -23,8 +23,15 @@ north_star); the cheap-before-expensive cascade (SURVEY.md §4):
      verification (the expensive token-set join). Pairs with IDENTICAL
      file names skip the Python kernel (name_sim = 1.0 JVM-side).
 
-Pruned pairs report name_sim = NULL (never computed) and a score built
-from the native Levenshtein surrogate — by construction below tau.
+SCORED_PAIRS output contract (name_sim semantics, ADVICE r3): name_sim is
+NULL for pruned pairs (never computed), 1.0 for equal-name pairs
+(JVM-side), Jaro-Winkler for pairs inside the decision band, and the
+LEVENSHTEIN surrogate for decision-clear pairs when cfg.jw_decision_band
+is on — for those pairs the match DECISION is provably unchanged but the
+reported name_sim/score VALUES differ from a full-JW run. The
+`jw_evaluated` boolean column says which kernel produced name_sim
+(True = Python JW ran); downstream consumers of score VALUES (not
+decisions) should either filter on it or set jw_decision_band=False.
 """
 
 from __future__ import annotations
@@ -46,7 +53,7 @@ from entitylinking_spark.operators.blocking import ERConfig
 _FEATURES = ["row_id", "fname", "mh8", "h8"]
 
 _OUT_COLS = ["id_l", "id_r", "block_key", "name_sim", "lev_sim", "minhash_sim",
-             "jaccard_sim", "score"]
+             "jaccard_sim", "score", "jw_evaluated"]
 
 
 def _attach(pairs: DataFrame, keyed: DataFrame, cols: list[str]) -> DataFrame:
@@ -97,6 +104,7 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
         "lev_sim", "minhash_sim",
         F.lit(None).cast("double").alias("jaccard_sim"),
         (cfg.w_name * F.col("lev_sim") + cfg.w_content * F.col("content_est")).alias("score"),
+        F.lit(False).alias("jw_evaluated"),
     )
 
     # equal-name fast path: the Arrow JW kernel is the only Python-rate
@@ -107,7 +115,9 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
     # would drop the pair from BOTH branches (ADVICE r2) — the null-safe
     # split is exhaustive (pruned + surv_eq + surv_ne == all pairs).
     eq_name = F.col("fname_l").eqNullSafe(F.col("fname_r"))
-    surv_eq = p.filter(survives & eq_name).withColumn("name_sim", F.lit(1.0))
+    surv_eq = p.filter(survives & eq_name).withColumn(
+        "name_sim", F.lit(1.0)
+    ).withColumn("jw_evaluated", F.lit(False))
     ne = p.filter(survives & ~eq_name)
     jw_name = F.greatest(
         jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")), F.col("lev_sim")
@@ -132,11 +142,14 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
             cfg.w_name * 1.0 + cfg.w_content * (F.col("content_est") + delta)
             < F.lit(cfg.tau)
         )
-        surv_ne = ne.filter(~clear).withColumn("name_sim", jw_name)
-        surv_ne_clear = ne.filter(clear).withColumn("name_sim", lev0)
+        surv_ne = ne.filter(~clear).withColumn("name_sim", jw_name).withColumn(
+            "jw_evaluated", F.lit(True))
+        surv_ne_clear = ne.filter(clear).withColumn("name_sim", lev0).withColumn(
+            "jw_evaluated", F.lit(False))
         surv = surv_eq.unionByName(surv_ne).unionByName(surv_ne_clear)
     else:
-        surv_ne = ne.withColumn("name_sim", jw_name)
+        surv_ne = ne.withColumn("name_sim", jw_name).withColumn(
+            "jw_evaluated", F.lit(True))
         surv = surv_eq.unionByName(surv_ne)
 
     if cfg.verify_jaccard:

@@ -175,21 +175,10 @@ def resolve(
         scored = scored.persist()
         persisted.append(scored)
     if collect_metrics:
-        # reconstruct scoring's JW decision band from the output columns to
-        # count pairs that actually reached the Python kernel (content_est
-        # == minhash_sim here: the rep fast path removed exact-dup pairs)
-        delta = cfg.prescreen_margin if cfg.verify_jaccard else 0.0
-        lev0 = F.coalesce(F.col("lev_sim"), F.lit(0.0))
-        clear = (
-            cfg.w_name * lev0 + cfg.w_content * (F.col("minhash_sim") - delta)
-            >= F.lit(cfg.tau)
-        ) | (
-            cfg.w_name * 1.0 + cfg.w_content * (F.col("minhash_sim") + delta)
-            < F.lit(cfg.tau)
-        )
-        jw_evald = F.col("name_sim").isNotNull() & (F.col("name_sim") != 1.0)
-        if cfg.jw_decision_band:
-            jw_evald = jw_evald & ~clear
+        # score_pairs emits jw_evaluated itself (ADVICE r3: the band
+        # predicate lives in ONE place — reconstructing it here drifted
+        # from scoring.py on exact-hash-equal pairs)
+        jw_evald = F.col("jw_evaluated")
         stats = scored.agg(
             F.count("*").alias("n"),
             F.sum(F.col("name_sim").isNotNull().cast("long")).alias("survivors"),
