@@ -1,0 +1,262 @@
+"""Baseline JPEG (ITU T.81) decoder in pure stdlib + numpy.
+
+Closes the round-3 "compressed media decode" gap for the dominant
+compressed image format without external libraries: marker parse, DQT/DHT
+tables, huffman entropy decode with byte unstuffing and restart markers,
+dequant + zigzag, float IDCT, chroma upsampling for arbitrary Hi/Vi
+sampling factors (4:4:4 / 4:2:2 / 4:2:0), YCbCr -> RGB.
+
+Scope (declared, like the other decoders in operators/multimodal.py):
+baseline DCT (SOF0), 8-bit precision, huffman coding. Progressive (SOF2),
+arithmetic coding, and 12-bit inputs raise NotImplementedError.
+
+This is the slow-but-correct reference path: entropy decoding is a Python
+bit loop (a few ms per small image, O(coefficients)). It runs inside the
+mapInPandas batch worker (operators/multimodal.py), where per-payload
+Python is the declared execution model for media decode.
+
+Reference behavior target: the reference repo has no media pipeline at
+all; this supports the training-data multimodal extension (SURVEY.md
+LLM-pipeline operators).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: zigzag index -> natural (row-major) index
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# orthonormal DCT-II basis: A @ block @ A.T = DCT, A.T @ coefs @ A = IDCT
+_K = np.arange(8)
+_DCT_A = np.cos((2 * _K[None, :] + 1) * _K[:, None] * np.pi / 16) * np.sqrt(2 / 8)
+_DCT_A[0, :] = np.sqrt(1 / 8)
+
+
+def idct2(coefs: np.ndarray) -> np.ndarray:
+    """8x8 inverse DCT (float)."""
+    return _DCT_A.T @ coefs @ _DCT_A
+
+
+def dct2(block: np.ndarray) -> np.ndarray:
+    """8x8 forward DCT (float) — used by the test encoder."""
+    return _DCT_A @ block @ _DCT_A.T
+
+
+class HuffTable:
+    """Canonical JPEG huffman table: (code_length, code) -> symbol."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: "BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in entropy stream")
+
+
+class BitReader:
+    """MSB-first bit reader over the entropy-coded segment with JPEG byte
+    unstuffing (FF 00 -> FF) and restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    # marker reached mid-read: pad with zeros (spec 0-fill)
+                    self.pos -= 1
+                    b = 0
+            self.bits = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_past_restart(self) -> None:
+        """Drop partial bits and consume the RSTn marker."""
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected restart marker")
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG coefficient sign extension (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """JFIF/JPEG bytes -> (h, w) grayscale or (h, w, 3) RGB uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], HuffTable] = {}  # (class 0=DC/1=AC, id)
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qtables[tq] = np.frombuffer(
+                    body, dtype=np.uint8, count=64, offset=i + 1
+                ).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = list(body[i + 1:i + 17])
+                n = sum(counts)
+                htables[(tc, th)] = HuffTable(counts, body[i + 17:i + 17 + n])
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nf = body[0], *struct.unpack_from(">HH", body, 1), body[5]
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline (SOF0) JPEG supported, got SOF marker {marker:#x}"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tda = body[1 + 2 * c], body[2 + 2 * c]
+                comp = next(x for x in frame["comps"] if x["id"] == cs)
+                scan.append({**comp, "td": tda >> 4, "ta": tda & 0xF})
+            return _decode_scan(
+                data, pos + 2 + seg_len, frame, scan, qtables, htables,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += 2 + seg_len
+    raise ValueError("no SOS segment found")
+
+
+def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {
+        c["id"]: np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64)
+        for c in scan
+    }
+    br = BitReader(data, pos)
+    pred = {c["id"]: 0 for c in scan}
+    n_mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.align_past_restart()
+                pred = {c["id"]: 0 for c in scan}
+            n_mcu += 1
+            for c in scan:
+                dc_t, ac_t = htables[(0, c["td"])], htables[(1, c["ta"])]
+                q = qtables[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = dc_t.decode(br)
+                        diff = _extend(br.receive(size), size)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = ac_t.decode(br)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        coefs = np.zeros(64, dtype=np.float64)
+                        coefs[ZIGZAG] = zz * q
+                        block = idct2(coefs.reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+    # upsample each component to full resolution and crop
+    out = []
+    for c in scan:
+        p = planes[c["id"]]
+        p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        return np.clip(out[0].round(), 0, 255).astype(np.uint8)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=2)
+    return np.clip(rgb.round(), 0, 255).astype(np.uint8)

@@ -4,12 +4,13 @@ Images/audio/video are opaque `binary` columns with a typed metadata
 struct (schemas.MEDIA). The Spark-side plumbing — schema, partitioning,
 Arrow batch shape, UDF signature — is real and tested.
 
-Decoding (round-3): UNCOMPRESSED formats are decoded for real, pure-numpy,
-no external libraries — netpbm P5/P6 images, uncompressed 24-bit BMP, and
-RIFF/WAVE PCM audio (decode_ppm / decode_bmp / decode_wav below, format
-sniffed from magic bytes). Compressed formats (JPEG/PNG/MP3/H.264) still
-need Pillow/torchaudio/ffmpeg and raise NotImplementedError at the decode
-site; `use_stub_decoder=True` keeps the deterministic md5-grid fake for
+Decoding: netpbm P5/P6 images, uncompressed 24-bit BMP, RIFF/WAVE PCM
+audio and (round 4) 8-bit non-interlaced PNG are decoded for real with
+stdlib+numpy only — zlib ships with CPython, so PNG needs no external
+library (decode_ppm / decode_bmp / decode_png / decode_wav below, format
+sniffed from magic bytes). Formats that genuinely need external decoders
+(JPEG/MP3/H.264) raise NotImplementedError at the decode site;
+`use_stub_decoder=True` opts into the deterministic md5-grid fake for
 pipelines that only exercise the plumbing (it remains the DuckDB-checkable
 path in the driver contract).
 """
@@ -118,6 +119,95 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return img[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (h, w) grayscale or (h, w, C) uint8 array, pure stdlib+numpy.
+
+    zlib ships with CPython, so PNG — unlike JPEG/MP3 — needs no external
+    decoder. Supports 8-bit depth, non-interlaced, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline
+    filters (spec: RFC 2083 §6). Other variants raise NotImplementedError.
+    """
+    import zlib
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln  # length + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG variant not supported (depth={depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at 8-bit depth
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape((h, w, channels))
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        img = palette[img[:, :, 0]]
+    return img[:, :, 0] if img.shape[2] == 1 else img
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM -> ((n_frames, n_channels) float64 in [-1, 1], rate).
 
@@ -184,14 +274,28 @@ def _real_decode(payload: bytes, dim: int) -> np.ndarray:
     if payload[:2] == b"BM":
         img = decode_bmp(payload).astype(np.float64)
         return _segment_means(img.mean(axis=2).ravel() / 255.0, dim)
+    if payload[:8] == _PNG_MAGIC:
+        img = decode_png(payload).astype(np.float64)
+        if img.ndim == 3:
+            # luminance from the color channels; alpha (2- or 4-channel) off
+            img = img[:, :, 0] if img.shape[2] == 2 else img[:, :, :3].mean(axis=2)
+        return _segment_means(img.ravel() / 255.0, dim)
+    if payload[:2] == b"\xff\xd8":
+        from entitylinking_spark.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload).astype(np.float64)
+        if img.ndim == 3:
+            img = img.mean(axis=2)
+        return _segment_means(img.ravel() / 255.0, dim)
     if payload[:4] == b"RIFF":
         samples, _rate = decode_wav(payload)
         mono = samples.mean(axis=1)
         return np.sqrt(_segment_means(mono * mono, dim))
     raise NotImplementedError(
-        "compressed/unknown media format (supported pure-numpy: netpbm "
-        "P5/P6, uncompressed 24-bit BMP, PCM WAV); plug a real decoder in "
-        "operators/multimodal.py or pass use_stub_decoder=True"
+        "compressed/unknown media format (supported without external libs: "
+        "netpbm P5/P6, uncompressed 24-bit BMP, PNG 8-bit non-interlaced, "
+        "PCM WAV); JPEG/MP3/H.264 need Pillow/torchaudio/ffmpeg — plug a "
+        "decoder into operators/multimodal.py or pass use_stub_decoder=True"
     )
 
 

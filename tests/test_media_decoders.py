@@ -165,3 +165,122 @@ def test_malformed_wav_raises_value_error():
         decode_wav(wav_with_fmt(zero_ch))
     with pytest.raises(ValueError, match="fmt chunk"):
         decode_wav(wav_with_fmt(b"\x01\x00\x01\x00"))  # 4-byte fmt chunk
+
+
+# ---------------------------------------------------------------------------
+# PNG (round 4): independent encoder built from the spec (zlib + filters)
+# ---------------------------------------------------------------------------
+
+
+def make_png(img: np.ndarray, filter_type: int = 0,
+             palette: np.ndarray | None = None) -> bytes:
+    """Minimal spec-conforming PNG encoder (RFC 2083): 8-bit, one IDAT,
+    the SAME filter on every scanline so each filter path is exercised
+    deliberately. With `palette`, writes color type 3 and img holds
+    indices."""
+    import zlib
+
+    if palette is not None:
+        h, w = img.shape
+        channels, color = 1, 3
+        flat = img[:, :, None]
+    elif img.ndim == 2:
+        h, w = img.shape
+        channels, color = 1, 0
+        flat = img[:, :, None]
+    else:
+        h, w, channels = img.shape
+        color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+        flat = img
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        line = flat[y].astype(np.int32).reshape(-1)
+        enc = np.empty_like(line)
+        for x in range(len(line)):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if filter_type == 0:
+                pred = 0
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (int(line[x]) - pred) & 0xFF
+        raw.append(filter_type)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + chunk(b"IEND", b"")
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_filters(filter_type, channels):
+    from entitylinking_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(filter_type * 10 + channels)
+    shape = (7, 5) if channels == 1 else (7, 5, channels)
+    img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    got = decode_png(make_png(img, filter_type=filter_type))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_png_palette():
+    from entitylinking_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(9)
+    palette = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(6, 4)).astype(np.uint8)
+    got = decode_png(make_png(idx, filter_type=0, palette=palette))
+    np.testing.assert_array_equal(got, palette[idx])
+
+
+def test_png_rejects_unsupported():
+    from entitylinking_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"nope")
+    # 16-bit depth header
+    import zlib as _z
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    body = (struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    with pytest.raises(Exception, match="not supported|missing"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + body)
+
+
+def test_real_decode_png_default_path(spark):
+    """PNG payloads flow through the DEFAULT mapInPandas decode path."""
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, size=(8, 6, 3), dtype=np.uint8)
+    payload = make_png(img, filter_type=4)
+    media = spark.createDataFrame(
+        [("p1", "image", bytearray(payload), None)],
+        "media_id string, kind string, payload binary, "
+        "meta struct<width:int,height:int,sample_rate:int,n_frames:int,codec:string>",
+    )
+    got = extract_features(media, dim=8).collect()[0]
+    np.testing.assert_allclose(got["feature"], _real_decode(payload, 8), rtol=1e-6)
+    # and the feature really is the grayscale segment-mean of the pixels
+    gray = img.astype(np.float64).mean(axis=2).ravel() / 255.0
+    bounds = np.linspace(0, gray.size, 9).astype(int)
+    want = [gray[bounds[i]:bounds[i + 1]].mean() for i in range(8)]
+    np.testing.assert_allclose(got["feature"], np.float32(want), rtol=1e-6)
