@@ -169,9 +169,13 @@ def shingle_blacklist(repo_files: DataFrame, cfg: ERConfig = ERConfig(),
     if cfg.suppress_shingle_df is None:
         return None
     sample_pm = int(cfg.suppress_sample * 10_000)
+    # the sample filter must READ the full content column either way; cache
+    # the small sampled slice so the count and the shingle census are one
+    # full scan, not two (round-4 stage profile: each content scan at 500k
+    # is a ~40 s-executor stage)
     sampled = repo_files.select(F.col(text_col)).filter(
         F.pmod(F.xxhash64(F.col(text_col)), F.lit(10_000)) < sample_pm
-    )
+    ).persist()
     shingle_udf = make_shingle_set_udf()
     counted = (
         sampled.select(F.explode(shingle_udf(F.col(text_col))).alias("sh"))
@@ -186,6 +190,7 @@ def shingle_blacklist(repo_files: DataFrame, cfg: ERConfig = ERConfig(),
         .limit(cfg.suppress_max_terms)
         .collect()
     )
+    sampled.unpersist()
     if not rows:
         return None
     return np.array([r["sh"] for r in rows], dtype=np.int64).view(np.uint64)

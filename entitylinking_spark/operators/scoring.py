@@ -74,7 +74,10 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
     content_df: optional (row_id, content) source for the verify join.
     Passing it lets the caller persist `keyed` WITHOUT the content column
     (the cache-serialization hot spot) while the verify join reads content
-    through a column-pruned scan of the original source.
+    through a column-pruned scan of the original source. (Persisting the
+    hashed-gram table to serve both join sides from one scan was tried in
+    round 4 and measured a WASH at 500k/local[8] — the cache write +
+    materialization job costs what the second scan cost; see NOTES.)
     """
     feats = keyed.select(
         "row_id", "fname",

@@ -99,7 +99,11 @@ def test_wav_stereo():
 
 
 def test_real_decode_unknown_raises():
+    # GIF (LZW) has no stdlib decoder — still a declared unsupported format
     with pytest.raises(NotImplementedError, match="compressed/unknown"):
+        _real_decode(b"GIF87a" + b"\x00" * 16, 8)
+    # truncated PNG now routes to the real PNG decoder and fails loudly
+    with pytest.raises(ValueError, match="missing IHDR"):
         _real_decode(b"\x89PNG\r\n\x1a\n....", 8)
 
 
