@@ -596,6 +596,110 @@ FROM documents ORDER BY doc_id
 """
 
 
+# 60-bit md5-derived hash of a token/gram string (functions/relhash.md5_hash60)
+_H60_SQL = (
+    "list_sum(list_transform(range(15), i -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1)"
+    " * (1::BIGINT << (4*(14-i)))))"
+)
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline quality scoring (textstats.quality_score): blended
+    length / stopword / punctuation heuristic, recomputed exactly by
+    DuckDB (token parity proven by x6; stopword parity by lang_id)."""
+    from entitylinking_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score("text"), 4).alias("quality_r")
+    ).orderBy("doc_id")
+
+
+_TOKS_SQL = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), "
+             "t -> t <> '')")
+
+DOC_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len({_TOKS_SQL}) AS ntok,
+         len(list_distinct({_TOKS_SQL})) AS ndis,
+         len(list_intersect(list_distinct({_TOKS_SQL}), [{_SW}])) AS hits,
+         length(text) AS nchar,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS npunct
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         0.4 * least(CAST(ntok AS DOUBLE) / 200.0, 1.0)
+       + 0.3 * least((CASE WHEN ndis = 0 THEN 0.0
+                           ELSE CAST(hits AS DOUBLE) / ndis END) / 0.3, 1.0)
+       + 0.3 * (1.0 - greatest((CASE WHEN nchar = 0 THEN 0.0
+                                     ELSE CAST(npunct AS DOUBLE) / nchar END)
+                               - 0.15, 0.0) / 0.85)
+       , 4) AS quality_r
+FROM t ORDER BY doc_id
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline embedding near-dup pairs: integer-SRP bucketed cosine
+    pairs >= 0.35 (4 planes). The bucket assignment is exact int64
+    arithmetic (ann_topk machinery) so DuckDB recomputes the candidate
+    set bit-for-bit; nearest value to the threshold on this data is
+    2.5e-4 away, far beyond cross-engine double noise."""
+    from entitylinking_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    out = embedding_near_dup_pairs(emb, threshold=0.35, n_planes=4, dim=64)
+    # candidate_pairs orders STRING row_ids lexicographically ("100" < "99");
+    # normalize to numeric (min, max) so the pair identity matches the oracle
+    l = F.col("id_l").cast("long")
+    r = F.col("id_r").cast("long")
+    return out.select(
+        F.least(l, r).alias("id_l"),
+        F.greatest(l, r).alias("id_r"),
+        F.round("cosine", 4).alias("cosine_r"),
+    ).orderBy("id_l", "id_r")
+
+
+EMB_NEAR_DUP_SQL = f"""
+WITH planes AS (
+  SELECT p, d,
+         ({_H60_SQL.format(x="'srp:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)")})
+           % 4096 - 2048 AS w
+  FROM range(4) tp(p) CROSS JOIN range(64) td(d)
+),
+qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS e
+  FROM embeddings
+),
+dots AS (
+  SELECT q.vec_id, pl.p, SUM(q.e[pl.d + 1] * pl.w) AS dot
+  FROM qe q CROSS JOIN planes pl GROUP BY 1, 2
+),
+buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY 1
+)
+SELECT a.vec_id AS id_l, b.vec_id AS id_r,
+       ROUND(list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+                                    CAST(be.embedding AS DOUBLE[])), 4) AS cosine_r
+FROM buckets a
+JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+JOIN embeddings ae ON ae.vec_id = a.vec_id
+JOIN embeddings be ON be.vec_id = b.vec_id
+WHERE list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+                             CAST(be.embedding AS DOUBLE[])) >= 0.35
+ORDER BY id_l, id_r
+"""
+
+
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/X14 embedding top-k: exact cosine top-5 for vec_id < 3 queries."""
     from entitylinking_spark.operators.similarity import brute_force_topk
@@ -799,12 +903,6 @@ ORDER BY mention_id, group_id
 """
 
 
-# 60-bit md5-derived hash of a token/gram string (functions/relhash.md5_hash60)
-_H60_SQL = (
-    "list_sum(list_transform(range(15), i -> "
-    "(strpos('0123456789abcdef', substr(md5({x}), i+1, 1)) - 1)"
-    " * (1::BIGINT << (4*(14-i)))))"
-)
 
 
 def ann_topk_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,6 +1682,8 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "x9_bm25_topk": (x9_bm25_topk, X9_BM25_SQL),
     "a7_recall_at_k": (a7_recall_at_k, A7_SQL),
     "ann_topk_shuffle": (ann_topk_shuffle, ANN_TOPK_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "g5_overlapping_groups": (g5_overlapping_groups, G5_SQL),
     "g5_repair_oracle": (g5_repair_oracle, G5_REPAIR_SQL),
     "er_clusters": (er_clusters, ER_CLUSTERS_SQL),

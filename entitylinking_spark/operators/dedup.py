@@ -245,16 +245,28 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,
-                             n_planes: int = 8, block_cap: int = 500) -> DataFrame:
+                             n_planes: int = 8, block_cap: int = 500,
+                             dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed by random-hyperplane
     sign bits. The bucket self-join goes through `candidate_pairs` so a
     skewed bucket (e.g. near-zero vectors all hashing alike) is
-    triangle-salted instead of exploding one task (round-1 verdict)."""
-    from entitylinking_spark.operators.similarity import cosine_sim, hyperplane_bucket
+    triangle-salted instead of exploding one task (round-1 verdict).
 
+    Round 4: buckets use the integer-quantized SRP planes (the ann_topk
+    machinery) so the candidate set is exact int64 arithmetic a DuckDB
+    oracle recomputes bit-for-bit (`embedding_near_dup` driver query)."""
+    from entitylinking_spark.operators.similarity import (
+        cosine_sim,
+        make_srp_bucket_udf,
+        srp_planes,
+    )
+
+    if dim is None:
+        dim = len(embeddings.select(F.col(vec_col)).first()[0])
+    bucket_udf = make_srp_bucket_udf(srp_planes(n_planes, dim))
     d = embeddings.select(
         F.col(id_col).cast("string").alias("row_id"), F.col(vec_col).alias("vec")
-    ).withColumn("block_key", hyperplane_bucket(F.col("vec"), n_planes).cast("string"))
+    ).withColumn("block_key", bucket_udf(F.col("vec")).cast("string"))
     cfg = ERConfig(block_cap=block_cap, skip_block_threshold=2**31 - 1)
     pairs = candidate_pairs(d.select("block_key", "row_id"), cfg)
     vl = d.select(F.col("row_id").alias("id_l"), F.col("vec").alias("v_l"))
