@@ -53,13 +53,22 @@ class ERResult:
                 pass
 
 
+# Bumped whenever a STAGE TABLE's schema or semantics change between
+# releases (e.g. round 4 added jw_evaluated to pairs_scored): a checkpoint
+# dir written by older code must invalidate instead of resuming with a
+# stage table the current code can't consume.
+_STAGE_CONTRACT_VERSION = 2
+
+
 def _fingerprint(cfg: ERConfig, repo_files: DataFrame, id_col: str | None) -> str:
-    """Config + input fingerprint for checkpoint validation: a resume with a
-    different ERConfig or a different input SCHEMA invalidates stale stage
-    tables (round-1 advice — resume was keyed on stage name alone). Input
-    DATA changes under the same schema are intentionally not hashed (that
-    would cost a full scan per resume); pass a different checkpoint_dir per
-    dataset, as the reference does with its per-dataset stage files."""
+    """Config + input + stage-contract fingerprint for checkpoint
+    validation: a resume with a different ERConfig, a different input
+    SCHEMA, or stage tables written by an older code version invalidates
+    stale stages (round-1 advice — resume was keyed on stage name alone).
+    Input DATA changes under the same schema are intentionally not hashed
+    (that would cost a full scan per resume); pass a different
+    checkpoint_dir per dataset, as the reference does with its per-dataset
+    stage files."""
     import dataclasses
     import hashlib
     import json
@@ -69,6 +78,7 @@ def _fingerprint(cfg: ERConfig, repo_files: DataFrame, id_col: str | None) -> st
             "cfg": {k: repr(v) for k, v in dataclasses.asdict(cfg).items()},
             "schema": repo_files.schema.simpleString(),
             "id_col": id_col,
+            "contract": _STAGE_CONTRACT_VERSION,
         },
         sort_keys=True,
     )

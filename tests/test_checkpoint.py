@@ -89,3 +89,34 @@ def test_stale_checkpoint_invalidated_on_config_change(spark, tmp_path):
     r3 = resolve(df, ERConfig(tau=0.6), id_col="row_id",
                  checkpoint_dir=ckpt, collect_metrics=False)
     assert r3.scored_pairs.count() == n1
+
+
+def test_contract_version_invalidates_old_checkpoints(spark, tmp_path):
+    """A checkpoint dir written under an older stage contract must
+    recompute, not resume: round 4 added jw_evaluated to pairs_scored, and
+    resuming a round-3 dir would read back a stage table the current
+    metrics path can't consume."""
+    from unittest import mock
+
+    import entitylinking_spark.plans.pipeline as pl
+    from entitylinking_spark.operators.blocking import ERConfig
+    from entitylinking_spark.plans.pipeline import resolve
+    from entitylinking_spark.synthdata import generate_repo_files
+
+    fx = generate_repo_files(80, seed=13)
+    df = spark.createDataFrame(fx.rows)
+    cfg = ERConfig(suppress_shingle_df=None)
+    ckpt = str(tmp_path / "ck")
+
+    with mock.patch.object(pl, "_STAGE_CONTRACT_VERSION", 1):
+        r_old = resolve(df, cfg, id_col="row_id", checkpoint_dir=ckpt,
+                        collect_metrics=False)
+        old = sorted((r["row_id"], r["cluster_id"]) for r in r_old.clusters.collect())
+
+    # current contract: every stage marker is stale -> full recompute, and
+    # the new-schema column is present end to end
+    r_new = resolve(df, cfg, id_col="row_id", checkpoint_dir=ckpt,
+                    collect_metrics=False)
+    assert "jw_evaluated" in r_new.scored_pairs.columns
+    new = sorted((r["row_id"], r["cluster_id"]) for r in r_new.clusters.collect())
+    assert new == old
