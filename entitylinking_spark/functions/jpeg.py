@@ -139,6 +139,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker code — without this skip, a padded stream would read the
+        # real marker byte as part of a bogus segment length (ADVICE r4)
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(data):
+            break
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break

@@ -245,8 +245,11 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
 def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,
-                             n_planes: int = 8, block_cap: int = 500,
-                             dim: int | None = None) -> DataFrame:
+                             n_planes: int | None = None, block_cap: int = 500,
+                             dim: int | None = None,
+                             corpus_count: int | None = None,
+                             skip_block_threshold: int | None = None,
+                             metrics=None) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed by random-hyperplane
     sign bits. The bucket self-join goes through `candidate_pairs` so a
     skewed bucket (e.g. near-zero vectors all hashing alike) is
@@ -254,21 +257,65 @@ def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
 
     Round 4: buckets use the integer-quantized SRP planes (the ann_topk
     machinery) so the candidate set is exact int64 arithmetic a DuckDB
-    oracle recomputes bit-for-bit (`embedding_near_dup` driver query)."""
+    oracle recomputes bit-for-bit (`embedding_near_dup` driver query).
+
+    Round 5 (round-4 verdict #1) — the LSH geometry scales with the corpus:
+      * `n_planes=None` (default) derives the plane count via auto_n_planes
+        so E[bucket size] tracks `block_cap` instead of N/2^k — at fixed k
+        the within-bucket PAIR count grows O((N/2^k)^2), the same defect
+        class fixed in lsh_topk_shuffle in round 3. Pass `corpus_count` to
+        skip the count job when known; an explicit `n_planes` pins the
+        geometry (the driver oracle does, for DuckDB parity).
+      * a FINITE mega-bucket skip is on by default (64*block_cap when
+        `skip_block_threshold` is None): under auto-sized planes E[bucket]
+        ~= block_cap, so a bucket 64x over it is a degenerate mass-
+        collision (near-identical or all-zero vectors) whose O(S^2) pair
+        volume would dominate the job; its members are cheaper to recover
+        via exact dedup on the vector bytes. The skip count is visible in
+        `metrics` ("near_dup_buckets" n_skipped); pass 2**31-1 to restore
+        exhaustive behavior.
+    """
     from entitylinking_spark.operators.similarity import (
+        auto_n_planes,
         cosine_sim,
         make_srp_bucket_udf,
         srp_planes,
     )
 
     if dim is None:
-        dim = len(embeddings.select(F.col(vec_col)).first()[0])
+        row = embeddings.select(F.col(vec_col)).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer dim from empty embeddings; pass dim="
+            )
+        dim = len(row[0])
+    if n_planes is None:
+        if corpus_count is None:
+            corpus_count = embeddings.count()
+        n_planes = auto_n_planes(corpus_count, block_cap)
+    if skip_block_threshold is None:
+        skip_block_threshold = 64 * block_cap
     bucket_udf = make_srp_bucket_udf(srp_planes(n_planes, dim))
     d = embeddings.select(
         F.col(id_col).cast("string").alias("row_id"), F.col(vec_col).alias("vec")
     ).withColumn("block_key", bucket_udf(F.col("vec")).cast("string"))
-    cfg = ERConfig(block_cap=block_cap, skip_block_threshold=2**31 - 1)
-    pairs = candidate_pairs(d.select("block_key", "row_id"), cfg)
+    cfg = ERConfig(block_cap=block_cap, skip_block_threshold=skip_block_threshold)
+    blocks = d.select("block_key", "row_id")
+    census = None
+    if metrics is not None:
+        from entitylinking_spark.operators.blocking import block_census
+
+        # one bucket-UDF pass: the census is materialized (tiny — one row
+        # per non-empty bucket) and fed to BOTH the stats record and the
+        # pair join, instead of recomputing the UDF per reference (the
+        # ADVICE-r4 unpersisted-census pattern)
+        census = block_census(blocks).localCheckpoint(eager=True)
+        metrics.record(
+            "near_dup_buckets", n_planes=n_planes, block_cap=block_cap,
+            skip_block_threshold=skip_block_threshold,
+            **metrics.block_stats(census, block_cap, skip_block_threshold),
+        )
+    pairs = candidate_pairs(blocks, cfg, census=census)
     vl = d.select(F.col("row_id").alias("id_l"), F.col("vec").alias("v_l"))
     vr = d.select(F.col("row_id").alias("id_r"), F.col("vec").alias("v_r"))
     return (

@@ -285,9 +285,12 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     """
     if planes is None:
         if dim is None:
-            dim = len(
-                embeddings.select(F.col(vec_col)).first()[0]
-            )
+            row = embeddings.select(F.col(vec_col)).first()
+            if row is None or row[0] is None:
+                raise ValueError(
+                    "cannot infer dim from empty embeddings; pass dim="
+                )
+            dim = len(row[0])
         if n_planes is None:
             if corpus_count is None:
                 corpus_count = embeddings.count()
@@ -307,7 +310,14 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     ).withColumn("bucket", bucket_udf(F.col("_vec"))).withColumn(
         "_n", norm(F.col("_vec"))
     )
-    census = corp.groupBy("bucket").agg(F.count("*").alias("_bsize"))
+    # one corpus pass for the census (ADVICE r4: with metrics on, an
+    # unpersisted census ran the SRP-bucket UDF + shuffle once for the
+    # stats collect and again per hot-join reference). persist -> read the
+    # stats and the hot tail out of the cache -> unpersist; the hot rows
+    # are collected to the driver and re-emitted as a literal frame — they
+    # were destined for a broadcast (a driver collect) anyway, and the hot
+    # set is O(skewed buckets) at any corpus size.
+    census = corp.groupBy("bucket").agg(F.count("*").alias("_bsize")).persist()
     if metrics is not None:
         stats = census.agg(
             F.count("*").alias("n_buckets"),
@@ -325,10 +335,14 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     # only the skew tail is broadcast: buckets at or under cap default to
     # n_salt=1 through the left join, so the broadcast is O(hot buckets)
     # regardless of corpus size (2^n_planes grows with N under auto-sizing)
-    hot = census.filter(F.col("_bsize") > bucket_cap).select(
+    hot_rows = census.filter(F.col("_bsize") > bucket_cap).select(
         "bucket",
         F.least(F.ceil(F.col("_bsize") / bucket_cap).cast("int"),
                 F.lit(max_salt)).alias("n_salt"),
+    ).collect()
+    census.unpersist()
+    hot = embeddings.sparkSession.createDataFrame(
+        hot_rows, "bucket long, n_salt int"
     )
     corp = corp.join(F.broadcast(hot), "bucket", "left").withColumn(
         "n_salt", F.coalesce(F.col("n_salt"), F.lit(1))

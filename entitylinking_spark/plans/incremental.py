@@ -25,6 +25,14 @@ Correctness caveats (documented, enforced where cheap):
     after the first increment — recall-equivalent when boilerplate is
     present from the start, which is the license-header case the
     suppression exists for.
+  * a first increment BELOW suppress_min_corpus pins an EMPTY blacklist
+    (a zero-length uint64 array, not None — ADVICE r4): "censused,
+    nothing suppressed" and "not computed" are different states, and only
+    the former keeps the replay contract true (resolve treats
+    blacklist=None as "run the census", which would re-census the grown
+    corpus and change old rows' signatures). The trade is explicit:
+    suppression never turns on for a corpus that STARTS small, because
+    turning it on later would rewrite already-pinned signatures.
   * a block crossing skip_block_threshold only as the corpus grows was
     partially paired in earlier increments; batch would skip it entirely.
     The skip threshold marks boilerplate bands, where scored pairs are
@@ -79,18 +87,28 @@ def resolve_increment(
 
     Returns a NEW IncrementalState whose clusters equal a from-scratch
     resolve() over all rows seen so far (same cfg, same pinned blacklist —
-    see the module caveat). The frames in the returned state are
-    materialized via localCheckpoint so the lineage does not grow across
-    increments (the same reason CC checkpoints its frontier).
+    see the module caveat). Only THIS increment's rows are materialized
+    (localCheckpoint of new_keyed/new_content); the accumulated state is a
+    lazy union over previously checkpointed increments, so per-increment
+    write cost is O(new rows), not O(corpus).
     """
     if state is not None:
         blacklist = state.blacklist
-    elif cfg.suppress_shingle_df is not None and \
-            new_files.count() >= cfg.suppress_min_corpus:
-        # censused once, here, on the first increment — PINNED thereafter
-        blacklist = shingle_blacklist(new_files, cfg)
+    elif cfg.suppress_shingle_df is None:
+        blacklist = None  # suppression disabled by config — nothing to pin
     else:
+        # censused once, here, on the first increment — PINNED thereafter.
+        # "Censused and found nothing" / "below the corpus gate" both pin
+        # an EMPTY array, never None: None would mean "not computed" and
+        # make a later replay resolve(..., blacklist=None) re-census the
+        # grown corpus (ADVICE r4 — see the module caveat).
         blacklist = None
+        if new_files.count() >= cfg.suppress_min_corpus:
+            blacklist = shingle_blacklist(new_files, cfg)
+        if blacklist is None:
+            import numpy as np
+
+            blacklist = np.empty(0, dtype=np.uint64)
     new_keyed_full = with_keys(new_files, cfg, id_col=id_col,
                                blacklist=blacklist)
     new_keyed = new_keyed_full.drop("content").localCheckpoint(eager=True)
@@ -149,8 +167,16 @@ def resolve_increment(
     )
     pairs.unpersist()
     rep_rows.unpersist()
+    # O(new) state carry (round-4 verdict #2): ONLY this increment's rows
+    # were materialized (new_keyed / new_content localCheckpoints above);
+    # the accumulated frames are lazy unions over the per-increment
+    # checkpointed leaves, so increment k writes O(|increment k|) rows,
+    # not O(corpus). The union tree grows one node per increment — plan
+    # size O(#increments), each leaf already materialized. For unbounded
+    # runs, compact via CheckpointStore stage tables at a cadence of the
+    # caller's choosing.
     return IncrementalState(
-        keyed=all_keyed.localCheckpoint(eager=True),
+        keyed=all_keyed,
         content=all_content,
         clusters=clusters,
         n_pairs_scored=n_pairs,

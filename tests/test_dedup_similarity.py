@@ -149,6 +149,71 @@ def test_embedding_near_dup(spark):
     assert got == {("1", "2")}
 
 
+def _pseudo_embeddings(spark, n, dim=8):
+    """Deterministic pseudorandom unit-cube embeddings (sha256-derived)."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        h = hashlib.sha256(str(i).encode()).digest()
+        rows.append((i, [(b - 128) / 128.0 for b in h[:dim]]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_near_dup_auto_geometry_tracks_corpus(spark):
+    """Round-4 verdict #1: with n_planes unset the bucket geometry derives
+    from the corpus count (auto_n_planes), so E[bucket] tracks block_cap
+    instead of N/2^k — the near-dup twin of the ann_topk auto-sizing."""
+    from entitylinking_spark.metrics import MetricsCollector
+    from entitylinking_spark.operators.similarity import auto_n_planes
+
+    cap = 8
+    m_small, m_big = MetricsCollector(), MetricsCollector()
+    embedding_near_dup_pairs(_pseudo_embeddings(spark, 64), threshold=0.99,
+                             block_cap=cap, metrics=m_small).count()
+    embedding_near_dup_pairs(_pseudo_embeddings(spark, 1024), threshold=0.99,
+                             block_cap=cap, metrics=m_big).count()
+    rec_s = next(s for s in m_small.stages if s["stage"] == "near_dup_buckets")
+    rec_b = next(s for s in m_big.stages if s["stage"] == "near_dup_buckets")
+    assert rec_s["n_planes"] == auto_n_planes(64, cap)
+    assert rec_b["n_planes"] == auto_n_planes(1024, cap)
+    assert rec_b["n_planes"] > rec_s["n_planes"]
+    # bucket census tracks the cap as the corpus grows 16x: mean NON-EMPTY
+    # bucket size stays O(cap), instead of growing linearly in N
+    assert rec_b["mean_block"] <= 4 * cap
+
+
+def test_near_dup_mega_bucket_skip(spark):
+    """The finite default mega-bucket skip: a degenerate mass-collision
+    bucket (all-identical vectors) is dropped and counted instead of
+    generating O(S^2) pairs; skip_block_threshold=2**31-1 restores the
+    exhaustive behavior."""
+    from entitylinking_spark.metrics import MetricsCollector
+
+    n = 200
+    same = spark.createDataFrame(
+        [(i, [1.0, 0.5, -0.25, 0.125]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    m = MetricsCollector()
+    out = embedding_near_dup_pairs(same, threshold=0.9, block_cap=2, metrics=m)
+    assert out.count() == 0
+    rec = next(s for s in m.stages if s["stage"] == "near_dup_buckets")
+    assert rec["n_skipped"] == 1 and rec["skip_block_threshold"] == 128
+    exhaustive = embedding_near_dup_pairs(
+        same, threshold=0.9, block_cap=2, skip_block_threshold=2**31 - 1
+    )
+    assert exhaustive.count() == n * (n - 1) // 2
+
+
+def test_near_dup_empty_embeddings_raises(spark):
+    """ADVICE r4: dim inference on an empty frame must raise a clear error,
+    not 'NoneType is not subscriptable'."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="pass dim="):
+        embedding_near_dup_pairs(empty)
+
+
 def test_brute_force_topk_exact(spark):
     emb = _embeddings(spark)
     q = spark.createDataFrame([(0, [1.0, 0.0, 0.0])], ["query_id", "embedding"])

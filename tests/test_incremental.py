@@ -97,6 +97,74 @@ def test_pinned_suppression_equals_batch(spark, fixture):
     assert inc == batch
 
 
+def test_pinned_empty_below_gate_equals_batch(spark, fixture):
+    """ADVICE r4: a first increment below suppress_min_corpus must pin an
+    EMPTY blacklist (censused-nothing), not None (not-computed) — with
+    None pinned, the documented replay resolve(..., blacklist=state.
+    blacklist) re-censuses the GROWN corpus (which crossed the gate) and
+    the incremental==batch contract silently breaks."""
+    cfg = dataclasses.replace(
+        CFG, suppress_shingle_df=0.02, suppress_min_corpus=300,
+        suppress_sample=1.0, suppress_min_df=4,
+    )
+    rows = fixture.rows
+    split = int(len(rows) * 0.6)  # 240 < gate(300) < total(400)
+
+    s1 = resolve_increment(spark.createDataFrame(rows.iloc[:split]), None, cfg,
+                           id_col="row_id")
+    assert s1.blacklist is not None and len(s1.blacklist) == 0, (
+        "below-gate first increment must pin an EMPTY blacklist, not None"
+    )
+    s2 = resolve_increment(spark.createDataFrame(rows.iloc[split:]), s1, cfg,
+                           id_col="row_id")
+    assert s2.blacklist is s1.blacklist
+    inc = sorted((r["row_id"], r["cluster_id"]) for r in s2.clusters.collect())
+
+    # the replay honors the pin: no census even though the combined corpus
+    # is over the gate (blacklist is not None -> resolve skips the census)
+    df = spark.createDataFrame(rows)
+    res = resolve(df, cfg, id_col="row_id", collect_metrics=False,
+                  blacklist=s2.blacklist)
+    batch = sorted((r["row_id"], r["cluster_id"]) for r in res.clusters.collect())
+    res.unpersist()
+    assert inc == batch
+
+
+def test_increment_writes_o_new_not_o_corpus(spark, fixture, monkeypatch):
+    """Round-4 verdict #2: increment k must materialize O(|increment k|)
+    keyed rows, not the full accumulated corpus. Spy on localCheckpoint and
+    count the rows of every checkpointed frame that carries a minhash
+    column (the keyed state frames)."""
+    # patch the CONCRETE DataFrame class (pyspark>=4 instances are
+    # classic.dataframe.DataFrame; patching the abstract base is a no-op)
+    cls = type(spark.range(1))
+    recorded = []
+    orig = cls.localCheckpoint
+
+    def spy(self, eager=True):
+        out = orig(self, eager=eager)
+        if "minhash" in self.columns:
+            recorded.append(out.count())
+        return out
+
+    monkeypatch.setattr(cls, "localCheckpoint", spy)
+    rows = fixture.rows
+    split = int(len(rows) * 0.8)
+    s1 = resolve_increment(spark.createDataFrame(rows.iloc[:split]), None, CFG,
+                           id_col="row_id")
+    recorded.clear()
+    s2 = resolve_increment(spark.createDataFrame(rows.iloc[split:]), s1, CFG,
+                           id_col="row_id")
+    n_new = len(rows) - split
+    assert sum(recorded) == n_new, (
+        f"increment 2 materialized {sum(recorded)} keyed rows, "
+        f"expected O(new)={n_new} (O(corpus) would be {len(rows)})"
+    )
+    # the O(new) carry must not cost correctness
+    inc = sorted((r["row_id"], r["cluster_id"]) for r in s2.clusters.collect())
+    assert inc == _batch_clusters(spark, rows)
+
+
 def test_pinned_suppression_cuts_pairs(spark):
     """The boilerplate-suppression win is preserved in incremental mode:
     on a corpus dominated by a shared header (the license-header scenario
