@@ -1528,6 +1528,101 @@ FROM rk ORDER BY mention_id, rank
 """
 
 
+def _priority_dominance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared base for the three tournament-model oracles: per customer,
+    DISTINCT order priorities in strict dominance order (max order price
+    desc, priority name tie-break)."""
+    o = _t(spark, sf_dir, "orders")
+    pr = o.groupBy("o_custkey", "o_orderpriority").agg(F.max("o_totalprice").alias("mx"))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("mx"), "o_orderpriority")
+    return pr.withColumn("pos", F.row_number().over(w))
+
+
+def pl_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 Plackett-Luce EM (Hunter 2004 MM, reference
+    /root/reference/Sparkle/algorithms.py:91-178), oracle-checked via a
+    single-full-ranking design: each customer contributes ONE experiment
+    whose winners array is their complete priority dominance order. For a
+    single observed ranking the PL MM fit is strictly decreasing along the
+    ranking (verified exhaustively for group sizes 2..5 in
+    tests/test_ranking.py — priorities have exactly 5 levels, so every
+    group the data can produce is covered), so the fitted rank column must
+    reproduce the dominance order, which DuckDB computes directly."""
+    from entitylinking_spark.operators.ranking import rank_experiments
+
+    ranked = _priority_dominance(spark, sf_dir)
+    exps = (
+        ranked.groupBy("o_custkey")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.col("o_orderpriority").alias("p"))
+                    )
+                ),
+                lambda s: s["p"],
+            ).alias("winners")
+        )
+        .filter(F.size("winners") >= 2)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("mention_id"),
+            F.lit(0).alias("exp_id"),
+            "winners",
+            F.array().cast("array<string>").alias("losers"),
+        )
+    )
+    return (
+        rank_experiments(exps, "plackett_luce")
+        .select("mention_id", "entity_id", "rank")
+        .orderBy("mention_id", "rank")
+    )
+
+
+def davidson_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 Davidson (1970) tie model, oracle-checked via a balanced design
+    with ties: per customer every ordered dominance pair plays one decisive
+    game (as in bt_rank_orders) and each ADJACENT pair additionally plays
+    one tie (winners=[a,b], losers=[b] — b on both sides marks the tie).
+    Ties are symmetric evidence, so the ML ordering still equals the
+    dominance order (verified exhaustively for group sizes 2..5 in
+    tests/test_ranking.py), which DuckDB computes directly."""
+    from entitylinking_spark.operators.ranking import rank_experiments
+
+    ranked = _priority_dominance(spark, sf_dir)
+    l = ranked.select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderpriority").alias("win_p"),
+        F.col("pos").alias("pos_l"),
+    )
+    r = ranked.select(
+        F.col("o_custkey").alias("cust"), F.col("o_orderpriority").alias("lose_p"),
+        F.col("pos").alias("pos_r"),
+    )
+    joined = l.join(r, "cust").filter(F.col("pos_l") < F.col("pos_r"))
+    wins = joined.select(
+        F.concat(F.lit("c"), F.col("cust")).alias("mention_id"),
+        (F.col("pos_l") * 10 + F.col("pos_r")).cast("int").alias("exp_id"),
+        F.array(F.col("win_p")).alias("winners"),
+        F.array(F.col("lose_p")).alias("losers"),
+    )
+    ties = joined.filter(F.col("pos_r") == F.col("pos_l") + 1).select(
+        F.concat(F.lit("c"), F.col("cust")).alias("mention_id"),
+        (F.lit(100) + F.col("pos_l")).cast("int").alias("exp_id"),
+        F.array(F.col("win_p"), F.col("lose_p")).alias("winners"),
+        F.array(F.col("lose_p")).alias("losers"),
+    )
+    return (
+        rank_experiments(wins.unionByName(ties), "davidson")
+        .select("mention_id", "entity_id", "rank")
+        .orderBy("mention_id", "rank")
+    )
+
+
+# both designs provably reproduce the same per-customer dominance order the
+# Bradley-Terry oracle checks — the SQL twin is shared
+PL_RANK_SQL = BT_RANK_SQL
+DAVIDSON_RANK_SQL = BT_RANK_SQL
+
+
 def _media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents bytes shaped as fake media payloads (shared by the two
     media queries; the SQL twin is _MEDIA_CTE)."""
@@ -1690,6 +1785,8 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "dedup_minhash_docs": (dedup_minhash_docs, DEDUP_MINHASH_SQL),
     "dedup_simhash_docs": (dedup_simhash_docs, DEDUP_SIMHASH_SQL),
     "bt_rank_orders": (bt_rank_orders, BT_RANK_SQL),
+    "pl_rank_orders": (pl_rank_orders, PL_RANK_SQL),
+    "davidson_rank_orders": (davidson_rank_orders, DAVIDSON_RANK_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
     # the decode itself is a declared stub (multimodal._stub_decode), but
     # its md5-derived grid is recomputable by DuckDB, so even this query is

@@ -128,3 +128,37 @@ def test_seeded_sample_deterministic_subset(spark):
     s3 = {(r["grp"], r["x"])
           for r in seeded_sample(df, "grp", 5, ["grp", "x"], seed=7).collect()}
     assert s3 != s1  # different seed -> different subset (w.h.p.)
+
+
+def test_pl_single_ranking_order_exhaustive():
+    """Oracle-design property (pl_rank_orders): for ONE observed full
+    ranking, the Plackett-Luce MM fit is strictly decreasing along the
+    ranking — exhaustive over group sizes 2..5 (the priority domain has 5
+    levels, so every group the driver data can produce is covered)."""
+    import itertools
+
+    from entitylinking_spark.operators.ranking import fit_plackett_luce
+
+    for m in range(2, 6):
+        for perm in itertools.permutations([f"P{i}" for i in range(m)]):
+            scores = fit_plackett_luce([(list(perm), [])])
+            got = sorted(scores, key=lambda e: (-scores[e], e))
+            assert got == list(perm), (perm, scores)
+
+
+def test_davidson_round_robin_with_ties_order_exhaustive():
+    """Oracle-design property (davidson_rank_orders): balanced round-robin
+    wins along a dominance order plus one tie per adjacent pair — the ML
+    ordering equals the dominance order, exhaustive over sizes 2..5."""
+    import itertools
+
+    from entitylinking_spark.operators.ranking import fit_davidson
+
+    for m in range(2, 6):
+        for perm in itertools.permutations([f"P{i}" for i in range(m)]):
+            exps = [([a], [b]) for a, b in itertools.combinations(perm, 2)]
+            exps += [([perm[i], perm[i + 1]], [perm[i + 1]])
+                     for i in range(m - 1)]
+            scores = fit_davidson(exps)
+            got = sorted(scores, key=lambda e: (-scores[e], e))
+            assert got == list(perm), (perm, scores)
