@@ -49,6 +49,60 @@ def stream_keyed(
     return writer.start()
 
 
+def stream_resolve(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    cfg: ERConfig = ERConfig(),
+    id_col: str | None = None,
+    state_holder: dict | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming -> incremental-ER bridge (round-4 verdict #6): each
+    arriving micro-batch of raw repo files is folded into the accumulated
+    resolution state via plans/incremental.resolve_increment, so streaming
+    ingest and incremental entity resolution compose end-to-end — clusters
+    after the backlog drains equal a batch resolve over the same corpus
+    (tests/test_streaming.py::test_stream_resolve_equals_batch).
+
+    foreachBatch is the right seam: resolve_increment needs multi-stage
+    batch semantics (self-join, connected components) that no streaming
+    operator expresses, and foreachBatch hands each micro-batch over as a
+    plain DataFrame with exactly-once file tracking from the streaming
+    checkpoint. Returns (query, state_holder); state_holder["state"] is
+    the latest IncrementalState after the query drains.
+
+    Scope note: the streaming checkpoint makes FILE CONSUMPTION restartable,
+    but the IncrementalState lives in driver memory — a restarted driver
+    must rebuild state by re-running over the accumulated keyed/cluster
+    stage tables (persist state.keyed/state.clusters via CheckpointStore
+    for that); this function is the single-process bridge.
+    """
+    from entitylinking_spark.plans.incremental import resolve_increment
+
+    holder = state_holder if state_holder is not None else {}
+    reader = spark.readStream.schema(REPO_FILES)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        holder["state"] = resolve_increment(
+            batch_df, holder.get("state"), cfg, id_col=id_col
+        )
+        holder["n_batches"] = holder.get("n_batches", 0) + 1
+
+    writer = src.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start(), holder
+
+
 def stream_corpus_monitor(
     events: DataFrame,
     window: str = "1 hour",

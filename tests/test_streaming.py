@@ -27,3 +27,36 @@ def test_stream_keyed_availablenow(spark, tmp_path):
     q2 = stream_keyed(spark, src, out, ckpt, ERConfig(), available_now=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == 60
+
+
+def test_stream_resolve_equals_batch(spark, tmp_path):
+    """§2.9 end-to-end: files arriving as separate micro-batches
+    (maxFilesPerTrigger=1) fold through resolve_increment via foreachBatch;
+    the drained state's clusters equal a from-scratch batch resolve over
+    the same total corpus."""
+    from entitylinking_spark.plans.pipeline import resolve
+    from entitylinking_spark.streaming.ingest import stream_resolve
+
+    cfg = ERConfig(suppress_shingle_df=None)
+    # the stream source reads the REPO_FILES schema (no row_id): rows are
+    # identified by the natural (repo, path, commit) key end to end
+    rows = generate_repo_files(150, seed=13).rows.drop(columns=["row_id"])
+    src = str(tmp_path / "in")
+    # three source files -> three micro-batches at maxFilesPerTrigger=1
+    for chunk in (rows.iloc[:50], rows.iloc[50:100], rows.iloc[100:]):
+        spark.createDataFrame(chunk).coalesce(1).write.mode("append").parquet(src)
+
+    q, holder = stream_resolve(
+        spark, src, str(tmp_path / "ckpt"), cfg, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    assert holder["n_batches"] >= 2, "backlog must split into micro-batches"
+    inc = sorted(
+        (r["row_id"], r["cluster_id"])
+        for r in holder["state"].clusters.collect()
+    )
+
+    res = resolve(spark.createDataFrame(rows), cfg, collect_metrics=False)
+    batch = sorted((r["row_id"], r["cluster_id"]) for r in res.clusters.collect())
+    res.unpersist()
+    assert inc == batch
