@@ -135,6 +135,55 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("ann_shuffle", ann)
 
+    # --- media decode throughput (round-4 verdict #5) ---------------------
+    # per-format MB/s through the mapInPandas decode path; PNG uses the
+    # all-Paeth worst case so the number is the reconstruction floor.
+    # media_mbps_payload = encoded bytes/s, media_mbps_raw = decoded
+    # ndarray bytes/s (what downstream feature code consumes).
+    def media():
+        from entitylinking_spark.functions.media_synth import bench_payloads
+        from entitylinking_spark.operators.multimodal import (
+            decode_bmp, decode_png, decode_ppm, decode_wav, extract_features,
+        )
+        from entitylinking_spark.functions.jpeg import decode_jpeg
+
+        payloads = bench_payloads()
+        raw_bytes = {
+            "ppm": decode_ppm(payloads["ppm"]).nbytes,
+            "bmp": decode_bmp(payloads["bmp"]).nbytes,
+            "png": decode_png(payloads["png"]).nbytes,
+            "jpeg": decode_jpeg(payloads["jpeg"]).nbytes,
+            "wav": decode_wav(payloads["wav"])[0].nbytes,
+        }
+        reps = {"ppm": 128, "bmp": 128, "png": 32, "jpeg": 128, "wav": 64}
+        schema = (
+            "media_id string, kind string, payload binary, "
+            "meta struct<width:int,height:int,sample_rate:int,"
+            "n_frames:int,codec:string>"
+        )
+        mbps_payload, mbps_raw = {}, {}
+        total_s = 0.0
+        for fmt, pl in payloads.items():
+            n = reps[fmt]
+            kind = "audio" if fmt == "wav" else "image"
+            df = spark.createDataFrame(
+                [(f"{fmt}{i}", kind, bytearray(pl), None) for i in range(n)],
+                schema,
+            ).repartition(min(cpus, n)).persist()
+            df.count()
+            t0 = time.time()
+            extract_features(df, dim=8).count()
+            dt = time.time() - t0
+            df.unpersist()
+            mbps_payload[fmt] = round(n * len(pl) / 1e6 / dt, 2)
+            mbps_raw[fmt] = round(n * raw_bytes[fmt] / 1e6 / dt, 2)
+            total_s += dt
+        extras["media_mbps_payload"] = mbps_payload
+        extras["media_mbps_raw"] = mbps_raw
+        return total_s
+
+    timings["media_decode"] = round(media(), 3)
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     result = {

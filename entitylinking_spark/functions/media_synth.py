@@ -1,0 +1,160 @@
+"""Deterministic media payload builders for benchmarks and fixtures.
+
+Spec-built encoders (netpbm P6, 24-bit BMP, PNG with a chosen scanline
+filter, 16-bit PCM WAV) plus one embedded baseline JPEG produced by an
+EXTERNAL encoder (Java ImageIO — this repo deliberately ships no JPEG
+encoder). Used by tools/bench_media.py and the bench.py media_decode row
+to measure decode throughput through operators/multimodal.extract_features
+(round-4 verdict #5). The tests keep their own independent copies of these
+encoders (tests/test_media_decoders.py) so decoder round-trip tests do not
+share code with what they test; external anchoring lives in
+tests/test_golden_decoders.py.
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+import zlib
+
+import numpy as np
+
+
+def make_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def make_bmp(img_rgb: np.ndarray) -> bytes:
+    """Uncompressed bottom-up 24-bit BMP (BGR rows padded to 4 bytes)."""
+    h, w, _ = img_rgb.shape
+    row_size = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img_rgb[y, :, ::-1].astype(np.uint8).tobytes()
+        body += row + b"\x00" * (row_size - len(row))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + info + bytes(body)
+
+
+def _png_chunk(ctype: bytes, chunk_body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(chunk_body)) + ctype + chunk_body
+        + struct.pack(">I", zlib.crc32(ctype + chunk_body) & 0xFFFFFFFF)
+    )
+
+
+def make_png(img: np.ndarray, filter_type: int = 1) -> bytes:
+    """8-bit non-interlaced PNG; every scanline uses `filter_type`.
+
+    Gray (h,w) or color (h,w,3)/(h,w,4); the filter bytes are computed by
+    the inverse of the RFC 2083 reconstruction, so decode(make_png(x))==x.
+    """
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        line = img[y].astype(np.int16).ravel()
+        left = np.zeros_like(line)
+        left[bpp:] = line[:-bpp]
+        upleft = np.zeros_like(prev)
+        upleft[bpp:] = prev[:-bpp]
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:
+            enc = line - left
+        elif filter_type == 2:
+            enc = line - prev
+        elif filter_type == 3:
+            enc = line - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = line - pred
+        else:
+            raise ValueError(filter_type)
+        raw += bytes([filter_type]) + (enc % 256).astype(np.uint8).tobytes()
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def make_wav(samples_i16: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
+    data = samples_i16.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+# 160x120 RGB gradient, baseline JFIF, encoded by Java ImageIO (external)
+BENCH_JPEG_B64 = (
+    "/9j/4AAQSkZJRgABAgAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRofHh0a"
+    "HBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/2wBDAQkJCQwLDBgNDRgyIRwhMjIyMjIy"
+    "MjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjIyMjL/wAARCAB4AKADASIA"
+    "AhEBAxEB/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQA"
+    "AAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3"
+    "ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWm"
+    "p6ipqrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/8QAHwEA"
+    "AwEBAQEBAQEBAQAAAAAAAAECAwQFBgcICQoL/8QAtREAAgECBAQDBAcFBAQAAQJ3AAECAxEEBSEx"
+    "BhJBUQdhcRMiMoEIFEKRobHBCSMzUvAVYnLRChYkNOEl8RcYGRomJygpKjU2Nzg5OkNERUZHSElK"
+    "U1RVVldYWVpjZGVmZ2hpanN0dXZ3eHl6goOEhYaHiImKkpOUlZaXmJmaoqOkpaanqKmqsrO0tba3"
+    "uLm6wsPExcbHyMnK0tPU1dbX2Nna4uPk5ebn6Onq8vP09fb3+Pn6/9oADAMBAAIRAxEAPwDwaNau"
+    "RLVeJauRrROANFiNatxLUES1cjWuOcDJoniWrka1XiWrkS1xzgZNFiJatxrUEa1ciWuOcDNoniWr"
+    "ka1XjWrkS1yTgZNFiJauRLVeNauRLXHOBk0TxrVyJagiWrca1xzgZNFiNauRLVeJauRrXHOBk0fO"
+    "ES1cjWq8a1ciWv0CcD9baLES1ciWq8a1ciWuOcDJo85jWrkS1BEtW41r6ucD5BosRrVyJarxLVyN"
+    "a45wMmixGtW4lqCJauRrXHOBk0TxLVyNarxLVyJa45wMmixEtW41qCNauRLXHOBm0TxLVyNarxrV"
+    "yJa5JwMmixEtXIlqvGtXIlrjnAyaJ41q5EtQRLVuNa45wMmj5xiWrca1BGtXIlr9AnA/W2ieJauR"
+    "rVeNauRLXHOBk0edRLVyJarxrVyJa+rnA+QaJ41q5EtQRLVuNa45wMmixGtXIlqvEtXI1rjnAyaL"
+    "Ea1biWoIlq5Gtcc4GTRPEtXI1qvEtXIlrjnAyaLES1bjWoI1q5Etcc4GbRPEtXI1qvGtXIlrknAy"
+    "aLES1ciWq8a1ciWuOcDJo+cIlq5GtV4lq5EtffzgfrTRYiWrca1BGtXIlrknAzaPOYlq5GtQRrVu"
+    "Ja+rnA+PaLES1ciWq8a1ciWuOcDNonjWrkS1BEtW41rjnAyaLEa1ciWq8S1cjWuOcDJosRrVuJag"
+    "iWrka1xzgZNE8S1cjWq8S1ciWuOcDJosRLVuNagjWrkS1xzgZtE8S1cjWq8a1ciWuScDJo+cY1q3"
+    "EtQRLVyNa+/nA/WmieJauRrVeJauRLXHOBk0edRLVyNarxrVyJa+rnA+QaJ4lq5GtQRrVuJa5JwM"
+    "mixEtXIlqvGtXIlrjnAzaJ41q5EtQRLVuNa45wMmixGtXIlqvEtXI1rjnAyaLEa1biWoIlq5Gtcc"
+    "4GTRPEtXI1qvEtXIlrjnAyaLES1bjWoI1q5Etcc4GbR84RrVyJarxLVyNa/QJwP1posRrVuJagiW"
+    "rka1xzgZNHnMS1cjWq8S1ciWvq5wPkGixEtXI1qvGtXIlrjnAyaJ4lq5GtQRrVuJa5JwMmixEtXI"
+    "lqvGtXIlrjnAzaJ41q5EtQRLVuNa45wMmixGtXIlqvEtXI1rjnAyaLEa1biWoIlq5Gtcc4GTRPEt"
+    "XI1qvEtXIlrjnAyaPnCNauRLUES1bjWv0CcD9baLEa1ciWq8S1cjWuOcDJo86jWrcS1BEtXI1r6u"
+    "cD5BoniWrka1XiWrkS1xzgZNFiJauRrVeNauRLXHOBk0TxLVyNagjWrcS1yTgZNFiJauRLVeNauR"
+    "LXHOBm0TxrVyJagiWrca1xzgZNFiNauRLVeJauRrXHOBk0WI1q3EtQRLVyNa45wMmj5wiWrkS1Xj"
+    "WrkS1+gTgfrbRPGtZWsa55O60tG/e9JJB/B7D3/l9elfWdb8ndaWjfvekkg/g9h7/wAvr0wI1rbD"
+    "4G/vzXoj4XiLP+S+Fwr1+1Lt5Lz7vp67TxrVyJaKK9eaRq0XI1q3EtFFcc0jJouRLVyNaKK45pGT"
+    "RciWrka0UVyTSM2i3EtXI1oorjmkZNFyJauRLRRXHNIyaLca1ciWiiuOaRk0XI1q5EtFFcc0jJo+"
+    "dIlrK1nW/J3Wlo373pJIP4PYe/8AL69Civ0zC0YTqe90Pt+KMZWwuEXsXZydm+trdDn4lq5GtFFd"
+    "00j8saP/2Q=="
+)
+
+
+def bench_payloads(img_hw: tuple[int, int] = (256, 256),
+                   wav_samples: int = 200_000, seed: int = 0) -> dict[str, bytes]:
+    """One deterministic payload per format, keyed by format name."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (*img_hw, 3), dtype=np.uint8)
+    return {
+        "ppm": make_ppm(img),
+        "bmp": make_bmp(img),
+        # filter 4 (Paeth) everywhere: the WORST-case reconstruction path,
+        # so the recorded PNG MB/s is the floor, not the None/Up fast path
+        "png": make_png(img, filter_type=4),
+        "jpeg": base64.b64decode(BENCH_JPEG_B64),
+        "wav": make_wav(
+            rng.randint(-30000, 30000, wav_samples).astype(np.int16)
+        ),
+    }

@@ -288,3 +288,23 @@ def test_real_decode_png_default_path(spark):
     bounds = np.linspace(0, gray.size, 9).astype(int)
     want = [gray[bounds[i]:bounds[i + 1]].mean() for i in range(8)]
     np.testing.assert_allclose(got["feature"], np.float32(want), rtol=1e-6)
+
+
+def test_bench_payloads_all_decode():
+    """functions/media_synth payload builders (the bench generators) must
+    stay decodable by every kernel they exercise."""
+    import numpy as np
+
+    from entitylinking_spark.functions.jpeg import decode_jpeg
+    from entitylinking_spark.functions.media_synth import bench_payloads
+    from entitylinking_spark.operators.multimodal import decode_png
+
+    p = bench_payloads(img_hw=(32, 48), wav_samples=1000)
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(p["ppm"]), img)
+    assert np.array_equal(decode_bmp(p["bmp"]), img)
+    assert np.array_equal(decode_png(p["png"]), img)
+    assert decode_jpeg(p["jpeg"]).shape == (120, 160, 3)
+    samples, rate = decode_wav(p["wav"])
+    assert samples.shape == (1000, 1) and rate == 8000
