@@ -53,6 +53,9 @@ def main():
     # verify-join compute so the run leaves the memory-bandwidth-bound
     # regime — used to test where 8->32 speedup recovers on this one-VM box
     ap.add_argument("--verify-ngram", type=int, default=None)
+    # round-5 keys-stage experiment: Arrow batch size override (None =
+    # whatever session.py ships)
+    ap.add_argument("--arrow-batch", type=int, default=None)
     args = ap.parse_args()
 
     path = gen(args.rows)
@@ -66,8 +69,11 @@ def main():
 
     # identical config at both parallelism levels (only the core count
     # varies) — per the BASELINE.md protocol
+    extra = {}
+    if args.arrow_batch is not None:
+        extra["spark.sql.execution.arrow.maxRecordsPerBatch"] = str(args.arrow_batch)
     spark = get_spark(app_name=f"scaling-{args.cpus}", cores=args.cpus,
-                      shuffle_partitions=64)
+                      shuffle_partitions=64, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(path)
 
