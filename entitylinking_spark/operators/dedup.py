@@ -300,16 +300,18 @@ def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
         F.col(id_col).cast("string").alias("row_id"), F.col(vec_col).alias("vec")
     ).withColumn("block_key", bucket_udf(F.col("vec")).cast("string"))
     cfg = ERConfig(block_cap=block_cap, skip_block_threshold=skip_block_threshold)
-    blocks = d.select("block_key", "row_id")
+    # materialize the slim (block_key, row_id) frame ONCE: candidate_pairs
+    # references it from the census + small + hot branches, and unpersisted
+    # Catalyst duplicates the ArrowEvalPython bucket kernel into every
+    # branch (8 copies in the executed plan — the same round-1 pattern
+    # dedup_minhash_lsh fixed with persist). The vector side (vl/vr) never
+    # needs the UDF: column pruning drops block_key from those scans.
+    blocks = d.select("block_key", "row_id").localCheckpoint(eager=True)
     census = None
     if metrics is not None:
         from entitylinking_spark.operators.blocking import block_census
 
-        # one bucket-UDF pass: the census is materialized (tiny — one row
-        # per non-empty bucket) and fed to BOTH the stats record and the
-        # pair join, instead of recomputing the UDF per reference (the
-        # ADVICE-r4 unpersisted-census pattern)
-        census = block_census(blocks).localCheckpoint(eager=True)
+        census = block_census(blocks)
         metrics.record(
             "near_dup_buckets", n_planes=n_planes, block_cap=block_cap,
             skip_block_threshold=skip_block_threshold,
