@@ -28,7 +28,10 @@ def candidate_channels(mentions: DataFrame, entities: DataFrame,
                        top_k: int = 10, num_perm: int = 32,
                        num_bands: int = 8, use_bm25: bool = False,
                        token_df_cutoff: float = 0.25,
-                       token_df_min: int = 50) -> DataFrame:
+                       token_df_min: int = 50,
+                       name_df_cutoff: float = 0.25,
+                       name_df_min: int = 50,
+                       sketch_band_cap: int = 2000) -> DataFrame:
     """(corpus, mention_id, text) x (corpus, document_id, title, text) ->
     (mention_id, document_id, channel, ch_score) candidate pairs.
 
@@ -45,6 +48,23 @@ def candidate_channels(mentions: DataFrame, entities: DataFrame,
     is a hot join key (round-1 verdict #7); the floor keeps small fixtures
     exact. Dropped-token census is exposed via the returned plan's
     `high_df` relation when debugging.
+
+    name_df_cutoff/name_df_min: the SAME gate for the name channel's
+    first-token block key (round-1 NOTES flagged it as a skew magnet):
+    a first token shared by >cutoff of a corpus's entities (above the
+    absolute floor) is dropped as a block key — such a block carries no
+    name signal (name_match_score would reject almost every pair, but only
+    AFTER the M×E join explosion on the hot key). Entity-side DF bounds
+    per-key join output: each surviving key joins <= cutoff*n_entities
+    entity rows per mention row — linear in mentions, never M×E.
+
+    sketch_band_cap: entity-side stop-band skip for the sketch channel —
+    a MinHash band key shared by more than `sketch_band_cap` entities is a
+    mass-collision (boilerplate descriptions), the same degenerate-block
+    class the ER pipeline's skip_block_threshold handles
+    (blocking.py ERConfig). Skipped keys cost recall only for pairs whose
+    EVERY matching band is degenerate; those entities are still reachable
+    through the name/token channels.
     """
     m = mentions.select(
         "corpus", "mention_id", F.col("text").alias("m_text"),
@@ -62,6 +82,18 @@ def candidate_channels(mentions: DataFrame, entities: DataFrame,
         F.length("name_block") >= 2
     )
     e_name = e.withColumn("name_block", F.element_at(tokenize("e_name"), 1))
+    n_ent_by_corpus = e.groupBy("corpus").agg(F.count("*").alias("n_entities"))
+    high_df_names = (
+        e_name.groupBy("corpus", "name_block")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_ent_by_corpus), "corpus")
+        .filter(
+            (F.col("df") > F.lit(name_df_min))
+            & (F.col("df") > F.lit(name_df_cutoff) * F.col("n_entities"))
+        )
+        .select("corpus", "name_block")
+    )
+    e_name = e_name.join(F.broadcast(high_df_names), ["corpus", "name_block"], "left_anti")
     name_cands = (
         m_name.join(e_name, ["corpus", "name_block"])
         .withColumn("ch_score", name_match_score("m_name", "e_name"))
@@ -107,7 +139,6 @@ def candidate_channels(mentions: DataFrame, entities: DataFrame,
     # channel 3: sketch — MinHash bands of mention text vs entity text
     mh = make_minhash_udf(num_perm, shingle_k=1)
     m_sig = m.withColumn("sig", mh("m_text"))
-    e_sig = e.withColumn("sig", mh("e_text"))
     bands = lambda df: df.select(  # noqa: E731
         "*",
         F.explode(
@@ -117,9 +148,24 @@ def candidate_channels(mentions: DataFrame, entities: DataFrame,
             )
         ).alias("band_key"),
     )
+    # slim (corpus, document_id, sig, band_key) frame materialized ONCE:
+    # the stop-band census and the anti-joined left side both read it, and
+    # without the checkpoint Catalyst runs the MinHash Arrow kernel over
+    # the entity texts twice (the embedding_near_dup_pairs pattern). Slim =
+    # e_text is dropped before materialization; sig is num_perm ints.
+    e_bands = bands(
+        e.select("corpus", "document_id", mh(F.col("e_text")).alias("sig"))
+    ).localCheckpoint(eager=True)
+    hot_bands = (
+        e_bands.groupBy("corpus", "band_key")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > F.lit(sketch_band_cap))
+        .select("corpus", "band_key")
+    )
+    e_bands = e_bands.join(F.broadcast(hot_bands), ["corpus", "band_key"], "left_anti")
     sketch_cands = (
         bands(m_sig).alias("ml")
-        .join(bands(e_sig).alias("el"),
+        .join(e_bands.alias("el"),
               (F.col("ml.corpus") == F.col("el.corpus"))
               & (F.col("ml.band_key") == F.col("el.band_key")))
         .select(

@@ -68,3 +68,62 @@ def test_rank_candidates_deterministic_order(spark):
     assert rows[0]["document_id"] == "e1"
     ranks = [r["rank"] for r in rows]
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def _skew_dfs(spark, n_common=10):
+    # one corpus; n_common entities share the first title token "common"
+    # AND an identical description (mass-collision for the sketch bands);
+    # one entity is distinct on both axes
+    ents = [
+        (f"c{i}", f"common entity {i}", "identical boilerplate description text", "k")
+        for i in range(n_common)
+    ] + [("u1", "unique widget", "a genuinely distinctive description here", "k")]
+    ments = [
+        ("k", "m1", None, "c3", 0, 5, "common entity 3", None),
+        ("k", "m2", None, "u1", 0, 5, "unique widget", None),
+        # text overlaps the boilerplate DESCRIPTION -> probes sketch bands
+        ("k", "m3", None, None, 0, 5, "identical boilerplate description text", None),
+    ]
+    e = spark.createDataFrame(ents, ["document_id", "title", "text", "corpus"])
+    m = spark.createDataFrame(
+        ments,
+        "corpus string, mention_id string, context_document_id string, "
+        "label_document_id string, start_index int, end_index int, "
+        "text string, category string",
+    )
+    return m, e
+
+
+def test_name_block_df_gate_drops_hot_first_token(spark):
+    m, e = _skew_dfs(spark)
+    # floor 0 + cutoff 0.5: df("common")=10 > 0.5*11 -> block dropped
+    gated = candidate_channels(m, e, name_df_min=0, name_df_cutoff=0.5)
+    name_hot = gated.filter(
+        "channel = 'name' and mention_id = 'm1'"
+    ).count()
+    assert name_hot == 0
+    # the un-skewed block still joins
+    assert gated.filter("channel = 'name' and mention_id = 'm2'").count() == 1
+    # default floors (name_df_min=50) keep small corpora exhaustive
+    ungated = candidate_channels(m, e)
+    assert ungated.filter("channel = 'name' and mention_id = 'm1'").count() > 0
+
+
+def test_sketch_band_cap_skips_mass_collision(spark):
+    m, e = _skew_dfs(spark, n_common=12)
+    # identical entity texts -> every band key has 12 entity rows > cap
+    gated = candidate_channels(m, e, sketch_band_cap=5)
+    assert gated.filter(
+        "channel = 'sketch' and mention_id = 'm3'"
+    ).count() == 0
+    # skipping sketch bands must not orphan the mention: other channels
+    # still rank the right entity first
+    out = {r["mention_id"]: r["entity_id"]
+           for r in link_mentions(m, e).collect()}
+    assert out["m1"] == "c3" and out["m2"] == "u1"
+    # default cap (2000) keeps the sketch channel exhaustive here:
+    # m3's text IS the boilerplate description, so every c-entity matches
+    ungated = candidate_channels(m, e)
+    assert ungated.filter(
+        "channel = 'sketch' and mention_id = 'm3'"
+    ).count() == 12
