@@ -95,10 +95,16 @@ def connected_components(
         e = edges.select("src", "dst")
         if not assume_distinct:
             e = e.filter(F.col("src") != F.col("dst")).distinct()
-        e = e.localCheckpoint(eager=True)
+        # lazy localCheckpoint + signature collect = ONE job per iteration:
+        # the signature action materializes the checkpoint as a side effect
+        # (eager=True would spend a separate job per iteration just to
+        # materialize, then a second for the signature — at ~8 iterations
+        # the fixed job overhead is most of CC's wall time on small/medium
+        # graphs, and at scale it is a free saving).
+        e = e.localCheckpoint(eager=False)
         sig = _signature(e)
         for it in range(max_iter):
-            e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
             new_sig = _signature(e2)
             if on_iteration is not None:
                 on_iteration(it, new_sig[0])
