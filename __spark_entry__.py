@@ -1735,6 +1735,85 @@ DOC_FP_SQL = (
 )
 
 
+def linking_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-linking candidate generation (operators/linking.py
+    candidate_channels — the reference's retrieval fan-out,
+    /root/reference/Sparkle/core.py:100-120) driven end to end: mentions
+    and entities are shaped deterministically from the documents table
+    (corpus = lang; entities = doc_id%5 rows titled by their first 4
+    tokens; mentions = doc_id%4 rows whose text is the first 3 tokens),
+    and the name + token channels' (mention, entity, score) rows are
+    value-checked by DuckDB. The sketch channel is excluded (MinHash —
+    not SQL-recomputable; pytest-covered). The DF skew gates stay inactive
+    at driver scale by their floors (df_min=50 > any per-corpus DF here);
+    the gates themselves are pytest-covered (test_linking)."""
+    from entitylinking_spark.operators.linking import candidate_channels
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"[^\w]+"), "")
+    ents = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("lang").alias("corpus"),
+        F.format_string("e%08d", F.col("doc_id")).alias("document_id"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("title"),
+        F.col("text"),
+    )
+    ments = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("lang").alias("corpus"),
+        F.format_string("m%08d", F.col("doc_id")).alias("mention_id"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("text"),
+    )
+    return (
+        candidate_channels(ments, ents)
+        .filter(F.col("channel") != "sketch")
+        .orderBy("mention_id", "document_id", "channel")
+    )
+
+
+_LINK_TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),"
+              " t -> t <> '')")
+
+LINKING_CHANNELS_SQL = f"""
+WITH src AS (
+  SELECT doc_id, lang, {_LINK_TOKS} AS tk FROM documents
+),
+m AS (
+  SELECT lang AS corpus, printf('m%08d', doc_id) AS mention_id,
+         array_to_string(tk[1:3], ' ') AS m_name,
+         list_distinct(list_filter(tk[1:3], t -> length(t) >= 2)) AS m_tk,
+         tk[1] AS nb
+  FROM src WHERE doc_id % 4 = 0
+),
+e AS (
+  SELECT lang AS corpus, printf('e%08d', doc_id) AS document_id,
+         array_to_string(tk[1:4], ' ') AS e_name,
+         list_distinct(list_filter(tk, t -> length(t) >= 2)) AS e_tk,
+         tk[1] AS nb
+  FROM src WHERE doc_id % 5 = 0
+),
+name_ch AS (
+  SELECT mention_id, document_id, 'name' AS channel,
+         CASE WHEN m_name = e_name THEN 1.0
+              WHEN position(e_name IN m_name) > 0
+                OR position(m_name IN e_name) > 0 THEN 0.7
+              ELSE 0.0 END AS ch_score
+  FROM m JOIN e ON m.corpus = e.corpus AND m.nb = e.nb
+  WHERE length(m.nb) >= 2
+),
+mt AS (SELECT corpus, mention_id, unnest(m_tk) AS tok FROM m),
+et AS (SELECT corpus, document_id, unnest(e_tk) AS tok FROM e),
+tok_ch AS (
+  SELECT mention_id, document_id, 'token' AS channel,
+         CAST(COUNT(*) AS DOUBLE) AS ch_score
+  FROM mt JOIN et ON mt.corpus = et.corpus AND mt.tok = et.tok
+  GROUP BY mention_id, document_id
+)
+SELECT * FROM (
+  SELECT * FROM name_ch WHERE ch_score > 0
+  UNION ALL SELECT * FROM tok_ch
+) ORDER BY mention_id, document_id, channel
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1792,6 +1871,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     # its md5-derived grid is recomputable by DuckDB, so even this query is
     # value-checked end to end through the mapInPandas plumbing
     "media_features_demo": (media_features_demo, MEDIA_FEATURES_SQL),
+    "linking_channels": (linking_channels, LINKING_CHANNELS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}
