@@ -152,8 +152,49 @@ class CheckpointStore:
         return self.write(stage, compute(), partition_by=partition_by, meta=meta)
 
     def invalidate(self, stage: str) -> None:
-        if not self.enabled or self.iceberg_catalog:
+        if not self.enabled:
+            return
+        if self.iceberg_catalog:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self.iceberg_catalog}.{stage}"
+            )
             return
         path = self._dir(stage)
         if os.path.exists(path):
             shutil.rmtree(path)
+
+    def append(self, stage: str, df: DataFrame) -> None:
+        """Append rows to a stage table WITHOUT a completion marker.
+
+        This is the O(new-rows) persistence primitive for accumulating
+        state (plans/incremental.save_state): appends carry no commit
+        semantics of their own — callers commit by writing a separate
+        versioned marker/meta stage AFTER the appends land, and filter
+        un-committed rows out on read (the Iceberg-snapshot pattern,
+        expressed on plain Parquet with a `_batch_id` column)."""
+        if not self.enabled:
+            raise ValueError("append() requires a checkpoint root")
+        if self.iceberg_catalog:
+            tbl = f"{self.iceberg_catalog}.{stage}"
+            if self.spark.catalog.tableExists(tbl):
+                df.writeTo(tbl).append()
+            else:
+                df.writeTo(tbl).create()
+            return
+        df.write.mode("append").parquet(self._dir(stage))
+
+    def list_stages(self, prefix: str = "") -> list[str]:
+        """Stage names under this store that start with `prefix` (both
+        backends; used to locate the newest versioned state commit)."""
+        if not self.enabled:
+            return []
+        if self.iceberg_catalog:
+            try:
+                tables = self.spark.catalog.listTables(self.iceberg_catalog)
+            except Exception:
+                return []
+            return [t.name for t in tables if t.name.startswith(prefix)]
+        return [
+            d for d in os.listdir(self.root)
+            if d.startswith(prefix) and os.path.isdir(os.path.join(self.root, d))
+        ]

@@ -75,6 +75,12 @@ class IncrementalState:
     # None): reused verbatim by every later increment so old signatures
     # stay stable while boilerplate suppression stays on
     blacklist: object = field(default=None, repr=False)
+    # THIS increment's materialized rows only (what resolve_increment just
+    # localCheckpoint()ed) — the O(new) unit save_state appends to durable
+    # stage tables. None on states reconstructed by load_state (nothing
+    # new to persist).
+    delta_keyed: DataFrame | None = field(default=None, repr=False)
+    delta_content: DataFrame | None = field(default=None, repr=False)
 
 
 def resolve_increment(
@@ -180,5 +186,121 @@ def resolve_increment(
         content=all_content,
         clusters=clusters,
         n_pairs_scored=n_pairs,
+        blacklist=blacklist,
+        delta_keyed=new_keyed,
+        delta_content=new_content,
+    )
+
+
+# ---------------------------------------------------------------------------
+# durable state (driver-restartable streaming; bounded in-memory plan)
+# ---------------------------------------------------------------------------
+#
+# The in-memory IncrementalState dies with the driver, and its lazy union
+# tree grows one node per increment. save_state/load_state close both:
+# each increment's DELTA is appended to two stage tables (O(new rows) write
+# — the round-4-verdict discipline carried to durability), the slim
+# clusters snapshot plus a 1-row meta frame are written as NEW versioned
+# stages per batch, and the meta stage's completion is the atomic commit
+# point. A state reloaded from the store reads straight from the stage
+# tables, so the union tree collapses to one scan — load IS compaction.
+#
+# Crash/replay safety (foreachBatch is at-least-once): appends carry a
+# `_batch_id` column; load filters rows beyond the last COMMITTED batch,
+# and a replayed batch that re-appends the same delta is neutralized by a
+# read-side dropDuplicates on row_id (row ids are content-keyed and unique
+# per corpus row). Versioned clusters/meta stages are never overwritten in
+# place — a crash mid-save leaves the previous commit intact; stale
+# versions are pruned only after the new commit lands.
+
+_ST_KEYED = "incr_state_keyed"
+_ST_CONTENT = "incr_state_content"
+_ST_CLUSTERS = "incr_state_clusters_b"  # + batch id
+_ST_META = "incr_state_meta_b"  # + batch id
+
+
+def save_state(state: IncrementalState, store, batch_id: int) -> None:
+    """Persist `state` after folding batch `batch_id` (monotonically
+    increasing per store — foreachBatch's batch_id with a stable streaming
+    checkpoint). Write cost: O(this increment) for keyed/content appends
+    plus the slim (row_id, cluster_id) snapshot — the one O(corpus) term,
+    two short columns, Iceberg/Parquet-compressed."""
+    if state.delta_keyed is None or state.delta_content is None:
+        raise ValueError(
+            "state has no delta frames to persist (already saved/loaded?)"
+        )
+    bid = int(batch_id)
+    tag = F.lit(bid).alias("_batch_id")
+    store.append(_ST_KEYED, state.delta_keyed.select("*", tag))
+    store.append(_ST_CONTENT, state.delta_content.select("*", tag))
+    store.write(f"{_ST_CLUSTERS}{bid}", state.clusters)
+    spark = state.clusters.sparkSession
+    bl = state.blacklist
+    meta = {
+        "batch_id": bid,
+        "n_pairs_scored": int(state.n_pairs_scored),
+        # uint64 grams survive JSON as arbitrary-precision ints
+        "blacklist": None if bl is None else [int(x) for x in bl],
+    }
+    import json as _json
+
+    store.write(
+        f"{_ST_META}{bid}",
+        spark.createDataFrame([(_json.dumps(meta),)], "meta_json string"),
+    )
+    # commit landed: prune superseded versioned stages (never the current)
+    for st in store.list_stages(_ST_CLUSTERS) + store.list_stages(_ST_META):
+        prefix = _ST_CLUSTERS if st.startswith(_ST_CLUSTERS) else _ST_META
+        try:
+            v = int(st[len(prefix):])
+        except ValueError:
+            continue
+        if v < bid:
+            store.invalidate(st)
+
+
+def last_saved_batch_id(store) -> int | None:
+    """Newest COMMITTED batch id in the store, or None if no state saved."""
+    best = None
+    for st in store.list_stages(_ST_META):
+        try:
+            v = int(st[len(_ST_META):])
+        except ValueError:
+            continue
+        if store.is_complete(st) and (best is None or v > best):
+            best = v
+    return best
+
+
+def load_state(store, spark) -> IncrementalState | None:
+    """Rebuild the accumulated state from the newest committed save, or
+    None if the store holds no state. The returned frames scan the stage
+    tables directly (no union tree — this is also the compaction path for
+    a long-running process: save then reload to reset plan size)."""
+    import json as _json
+
+    import numpy as np
+
+    bid = last_saved_batch_id(store)
+    if bid is None:
+        return None
+    row = store.read(f"{_ST_META}{bid}").first()
+    meta = _json.loads(row["meta_json"])
+    bl = meta["blacklist"]
+    blacklist = None if bl is None else np.array(bl, dtype=np.uint64)
+
+    def committed(stage: str) -> DataFrame:
+        return (
+            store.read(stage)
+            .filter(F.col("_batch_id") <= bid)
+            .dropDuplicates(["row_id"])
+            .drop("_batch_id")
+        )
+
+    return IncrementalState(
+        keyed=committed(_ST_KEYED),
+        content=committed(_ST_CONTENT),
+        clusters=store.read(f"{_ST_CLUSTERS}{bid}"),
+        n_pairs_scored=meta["n_pairs_scored"],
         blacklist=blacklist,
     )

@@ -58,6 +58,7 @@ def stream_resolve(
     state_holder: dict | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    store=None,
 ):
     """Streaming -> incremental-ER bridge (round-4 verdict #6): each
     arriving micro-batch of raw repo files is folded into the accumulated
@@ -73,15 +74,34 @@ def stream_resolve(
     checkpoint. Returns (query, state_holder); state_holder["state"] is
     the latest IncrementalState after the query drains.
 
-    Scope note: the streaming checkpoint makes FILE CONSUMPTION restartable,
-    but the IncrementalState lives in driver memory — a restarted driver
-    must rebuild state by re-running over the accumulated keyed/cluster
-    stage tables (persist state.keyed/state.clusters via CheckpointStore
-    for that); this function is the single-process bridge.
+    Durability (round-5): pass `store` (a CheckpointStore) to make the
+    STATE restartable too — each folded batch is persisted via
+    plans/incremental.save_state (O(batch) appends + slim versioned
+    clusters/meta commit), a fresh call on the same store resumes from
+    load_state, and already-persisted batch ids are skipped when the
+    at-least-once foreachBatch replays one. `store` and `checkpoint_dir`
+    are a PAIRED unit: foreachBatch batch ids restart from 0 with a fresh
+    streaming checkpoint, so retain or discard both together. The holder's
+    state is swapped to the table-backed reload after every save, so the
+    in-memory plan stays one-scan deep no matter how many batches stream
+    through (load IS compaction — incremental.py module notes).
+
+    Without `store`, the IncrementalState lives in driver memory only and
+    this function is the single-process bridge.
     """
-    from entitylinking_spark.plans.incremental import resolve_increment
+    from entitylinking_spark.plans.incremental import (
+        last_saved_batch_id,
+        load_state,
+        resolve_increment,
+        save_state,
+    )
 
     holder = state_holder if state_holder is not None else {}
+    if store is not None and store.enabled and "state" not in holder:
+        loaded = load_state(store, spark)
+        if loaded is not None:
+            holder["state"] = loaded
+            holder["last_saved_batch_id"] = last_saved_batch_id(store)
     reader = spark.readStream.schema(REPO_FILES)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -90,10 +110,20 @@ def stream_resolve(
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        last = holder.get("last_saved_batch_id")
+        if last is not None and batch_id <= last:
+            return  # at-least-once replay of an already-persisted batch
         holder["state"] = resolve_increment(
             batch_df, holder.get("state"), cfg, id_col=id_col
         )
         holder["n_batches"] = holder.get("n_batches", 0) + 1
+        if store is not None and store.enabled:
+            save_state(holder["state"], store, batch_id)
+            holder["last_saved_batch_id"] = batch_id
+            # table-backed reload: collapses the union tree (compaction)
+            # and leaves delta frames None — the delta is saved, and a
+            # second save_state on this state should loudly refuse
+            holder["state"] = load_state(store, spark)
 
     writer = src.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_dir

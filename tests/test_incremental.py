@@ -206,3 +206,92 @@ def test_pinned_suppression_cuts_pairs(spark):
     assert with_suppression < without, (
         f"pinned suppression: {with_suppression} pairs, off: {without}"
     )
+
+
+# ---------------------------------------------------------------------------
+# durable state (save_state / load_state)
+# ---------------------------------------------------------------------------
+
+
+def test_state_save_load_roundtrip(spark, fixture, tmp_path):
+    """Save after increment 2, reload (a 'restarted driver'), fold
+    increment 3 onto the LOADED state: clusters equal a batch resolve over
+    all rows — keyed/content/clusters/blacklist all survive the store."""
+    from entitylinking_spark.checkpoint import CheckpointStore
+    from entitylinking_spark.plans.incremental import load_state, save_state
+
+    rows = fixture.rows
+    a, b = int(len(rows) * 0.4), int(len(rows) * 0.7)
+    store = CheckpointStore(str(tmp_path / "state"), spark)
+
+    s1 = resolve_increment(spark.createDataFrame(rows.iloc[:a]), None, CFG, id_col="row_id")
+    save_state(s1, store, 0)
+    s2 = resolve_increment(spark.createDataFrame(rows.iloc[a:b]), s1, CFG, id_col="row_id")
+    save_state(s2, store, 1)
+
+    loaded = load_state(store, spark)
+    assert loaded is not None
+    assert loaded.n_pairs_scored == s2.n_pairs_scored
+    # a loaded state has nothing new to persist — save must refuse loudly
+    with pytest.raises(ValueError, match="delta"):
+        save_state(loaded, store, 2)
+
+    s3 = resolve_increment(spark.createDataFrame(rows.iloc[b:]), loaded, CFG, id_col="row_id")
+    inc = sorted((r["row_id"], r["cluster_id"]) for r in s3.clusters.collect())
+    assert inc == _batch_clusters(spark, rows)
+
+
+def test_state_save_appends_o_new(spark, fixture, tmp_path):
+    """Increment k appends exactly |increment k| rows to the durable keyed
+    table (never a rewrite of the accumulated corpus), and superseded
+    versioned clusters/meta stages are pruned after each commit."""
+    from entitylinking_spark.checkpoint import CheckpointStore
+    from entitylinking_spark.plans.incremental import save_state
+
+    rows = fixture.rows
+    a = int(len(rows) * 0.8)
+    store = CheckpointStore(str(tmp_path / "state"), spark)
+
+    s1 = resolve_increment(spark.createDataFrame(rows.iloc[:a]), None, CFG, id_col="row_id")
+    save_state(s1, store, 0)
+    s2 = resolve_increment(spark.createDataFrame(rows.iloc[a:]), s1, CFG, id_col="row_id")
+    save_state(s2, store, 1)
+
+    keyed = store.read("incr_state_keyed")
+    n_b0 = keyed.filter(F.col("_batch_id") == 0).count()
+    n_b1 = keyed.filter(F.col("_batch_id") == 1).count()
+    assert n_b0 == a
+    assert n_b1 == len(rows) - a  # O(new), not O(corpus)
+    stages = store.list_stages("incr_state_")
+    assert "incr_state_clusters_b1" in stages
+    assert "incr_state_clusters_b0" not in stages  # pruned after commit
+    assert "incr_state_meta_b0" not in stages
+
+
+def test_state_load_skips_uncommitted_and_replayed_rows(spark, fixture, tmp_path):
+    """Crash/replay model: rows appended for a batch whose meta never
+    committed are invisible to load_state, and a replayed append of the
+    SAME batch (at-least-once foreachBatch) does not duplicate rows."""
+    from entitylinking_spark.checkpoint import CheckpointStore
+    from entitylinking_spark.plans.incremental import load_state, save_state
+
+    rows = fixture.rows
+    a = int(len(rows) * 0.6)
+    store = CheckpointStore(str(tmp_path / "state"), spark)
+
+    s1 = resolve_increment(spark.createDataFrame(rows.iloc[:a]), None, CFG, id_col="row_id")
+    save_state(s1, store, 0)
+    # crash mid-save of batch 1: delta appended, meta never written
+    tag = F.lit(1).alias("_batch_id")
+    s2 = resolve_increment(spark.createDataFrame(rows.iloc[a:]), s1, CFG, id_col="row_id")
+    store.append("incr_state_keyed", s2.delta_keyed.select("*", tag))
+    store.append("incr_state_content", s2.delta_content.select("*", tag))
+
+    loaded = load_state(store, spark)
+    assert loaded.keyed.count() == a  # uncommitted batch-1 rows filtered
+
+    # replay lands the same batch 1 again, this time committing
+    save_state(s2, store, 1)
+    loaded2 = load_state(store, spark)
+    assert loaded2.keyed.count() == len(rows)  # dup appends collapse
+    assert loaded2.content.count() == len(rows)

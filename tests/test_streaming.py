@@ -60,3 +60,40 @@ def test_stream_resolve_equals_batch(spark, tmp_path):
     batch = sorted((r["row_id"], r["cluster_id"]) for r in res.clusters.collect())
     res.unpersist()
     assert inc == batch
+
+
+def test_stream_resolve_restart_resumes_from_store(spark, tmp_path):
+    """Driver-restart model: stream part of the corpus with a durable
+    store, throw the holder away (the 'dead driver'), land more files, and
+    call stream_resolve again on the same (store, checkpoint) pair. The
+    second run must reload state from the store, fold ONLY the new files
+    (streaming checkpoint skips consumed ones), and finish with clusters
+    equal to a batch resolve over the full corpus."""
+    from entitylinking_spark.checkpoint import CheckpointStore
+    from entitylinking_spark.plans.pipeline import resolve
+    from entitylinking_spark.streaming.ingest import stream_resolve
+
+    cfg = ERConfig(suppress_shingle_df=None)
+    rows = generate_repo_files(150, seed=14).rows.drop(columns=["row_id"])
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    store = CheckpointStore(str(tmp_path / "state"), spark)
+
+    spark.createDataFrame(rows.iloc[:90]).coalesce(1).write.mode("append").parquet(src)
+    q1, h1 = stream_resolve(spark, src, ckpt, cfg, store=store)
+    q1.awaitTermination(300)
+    assert h1["n_batches"] >= 1
+
+    # driver dies; new files land
+    spark.createDataFrame(rows.iloc[90:]).coalesce(1).write.mode("append").parquet(src)
+    q2, h2 = stream_resolve(spark, src, ckpt, cfg, store=store)
+    q2.awaitTermination(300)
+    assert h2["n_batches"] == 1, "restart must fold only the NEW files"
+    assert h2["state"].delta_keyed is None  # table-backed (compacted) state
+
+    inc = sorted(
+        (r["row_id"], r["cluster_id"]) for r in h2["state"].clusters.collect()
+    )
+    res = resolve(spark.createDataFrame(rows), cfg, collect_metrics=False)
+    batch = sorted((r["row_id"], r["cluster_id"]) for r in res.clusters.collect())
+    res.unpersist()
+    assert inc == batch
