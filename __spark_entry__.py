@@ -1814,6 +1814,88 @@ SELECT * FROM (
 """
 
 
+def parse_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The response-parsing family (functions/parsing.py — X10 yes/no with
+    negative-beats-yes, X11 first-occurring category, X13 JSON-in-string;
+    reference OneNet/data_process.py:115-156, Sparkle/eval.py:80-93)
+    driver-checked per row: deterministic response strings are built from
+    the documents table (the _media_table pattern — same construction on
+    both sides, the PARSE is what's under test) covering every branch —
+    explicit yes, yes overridden by a negative, empty -> null,
+    unparseable -> null — and DuckDB recomputes category positions and the
+    embedded-JSON fields."""
+    from entitylinking_spark.functions.parsing import (
+        extract_embedded_json,
+        extract_first_category,
+        parse_yes_no,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    resp = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit("Yes, the answer involves "), F.col("lang")))
+        .when(F.col("doc_id") % 4 == 1, F.lit("Yes, but actually not correct"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(""))
+        .otherwise(F.concat(F.lit("hmm "), F.col("lang")))
+    )
+    marked = F.concat(
+        F.lit('resp: {"lang": "'), F.col("lang"), F.lit('", "n": '),
+        (F.col("doc_id") % 7).cast("string"), F.lit("} end"),
+    )
+    j = extract_embedded_json(marked, "lang string, n int")
+    return d.select(
+        "doc_id",
+        # nulls (unparseable / no category) -> sentinels: the driver canon
+        # sorts row tuples, which None cells break
+        F.coalesce(parse_yes_no(resp).cast("int"), F.lit(-1)).alias("ans"),
+        F.coalesce(
+            extract_first_category(
+                F.col("text"), ["table", "window", "vector", "customer"]
+            ),
+            F.lit("none"),
+        ).alias("category"),
+        j["lang"].alias("json_lang"),
+        j["n"].alias("json_n"),
+    ).orderBy("doc_id")
+
+
+PARSE_RESPONSES_SQL = r"""
+WITH base AS (
+  SELECT doc_id, lang, lower(text) AS s,
+    CASE doc_id % 4
+      WHEN 0 THEN 'Yes, the answer involves ' || lang
+      WHEN 1 THEN 'Yes, but actually not correct'
+      WHEN 2 THEN ''
+      ELSE 'hmm ' || lang END AS resp,
+    'resp: {"lang": "' || lang || '", "n": ' || CAST(doc_id % 7 AS VARCHAR)
+      || '} end' AS marked
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, lower(trim(resp)) AS r, marked,
+    CASE WHEN instr(s,'table')>0 THEN instr(s,'table') ELSE 2147483647 END AS p1,
+    CASE WHEN instr(s,'window')>0 THEN instr(s,'window') ELSE 2147483647 END AS p2,
+    CASE WHEN instr(s,'vector')>0 THEN instr(s,'vector') ELSE 2147483647 END AS p3,
+    CASE WHEN instr(s,'customer')>0 THEN instr(s,'customer') ELSE 2147483647 END AS p4
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN length(r) = 0 THEN -1
+       WHEN regexp_matches(r, '\b(no|not|cannot|n''t|incorrect|wrong|false)\b')
+         THEN 0
+       WHEN regexp_matches(r, '\byes\b') OR r LIKE 'y%' THEN 1
+       ELSE -1 END AS ans,
+  CASE WHEN least(p1,p2,p3,p4) = 2147483647 THEN 'none'
+       WHEN p1 = least(p1,p2,p3,p4) THEN 'table'
+       WHEN p2 = least(p1,p2,p3,p4) THEN 'window'
+       WHEN p3 = least(p1,p2,p3,p4) THEN 'vector'
+       ELSE 'customer' END AS category,
+  regexp_extract(marked, '(\{.*\})', 1)->>'$.lang' AS json_lang,
+  CAST(regexp_extract(marked, '(\{.*\})', 1)->>'$.n' AS INTEGER) AS json_n
+FROM pos ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1867,6 +1949,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "pl_rank_orders": (pl_rank_orders, PL_RANK_SQL),
     "davidson_rank_orders": (davidson_rank_orders, DAVIDSON_RANK_SQL),
     "doc_fingerprints": (doc_fingerprints, DOC_FP_SQL),
+    "parse_responses": (parse_responses, PARSE_RESPONSES_SQL),
     # the decode itself is a declared stub (multimodal._stub_decode), but
     # its md5-derived grid is recomputable by DuckDB, so even this query is
     # value-checked end to end through the mapInPandas plumbing
