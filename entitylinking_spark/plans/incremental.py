@@ -192,31 +192,79 @@ def resolve_increment(
     )
 
 
-# ---------------------------------------------------------------------------
-# durable state (driver-restartable streaming; bounded in-memory plan)
+# ---------------------------------------------------------------------------\n# durable state (driver-restartable streaming; bounded in-memory plan)
 # ---------------------------------------------------------------------------
 #
 # The in-memory IncrementalState dies with the driver, and its lazy union
-# tree grows one node per increment. save_state/load_state close both:
-# each increment's DELTA is appended to two stage tables (O(new rows) write
-# — the round-4-verdict discipline carried to durability), the slim
-# clusters snapshot plus a 1-row meta frame are written as NEW versioned
-# stages per batch, and the meta stage's completion is the atomic commit
-# point. A state reloaded from the store reads straight from the stage
-# tables, so the union tree collapses to one scan — load IS compaction.
+# tree grows one node per increment. save_state/load_state close both with
+# a log-structured layout:
 #
-# Crash/replay safety (foreachBatch is at-least-once): appends carry a
-# `_batch_id` column; load filters rows beyond the last COMMITTED batch,
-# and a replayed batch that re-appends the same delta is neutralized by a
-# read-side dropDuplicates on row_id (row ids are content-keyed and unique
-# per corpus row). Versioned clusters/meta stages are never overwritten in
-# place — a crash mid-save leaves the previous commit intact; stale
-# versions are pruned only after the new commit lands.
+#   * each increment's DELTA is appended (O(new rows) write — the
+#     round-4-verdict discipline carried to durability) to a pair of
+#     GENERATION tables (incr_state_{keyed,content}_g<N>) tagged with a
+#     `_batch_id` column;
+#   * every save writes the slim clusters snapshot plus a 1-row meta frame
+#     as NEW stages versioned by a monotonic COMMIT SEQUENCE
+#     (incr_state_meta_c<seq>); the meta records the batch id AND the
+#     physical table names, and its completion marker is the atomic commit
+#     point. Nothing referenced by the previous commit is touched until
+#     the new commit lands, so a crash mid-save always leaves a readable
+#     prior state; superseded clusters/meta versions are pruned after.
+#   * compact_state() bounds the append tables' file count for unbounded
+#     runs: it rewrites the committed rows into generation N+1 tables,
+#     commits a meta pointing at them, then drops generation N — the same
+#     write-new/commit/drop-old discipline, so compaction is crash-safe
+#     too. (On the Iceberg backend, native table maintenance
+#     (rewrite_data_files) is the production alternative.)
+#
+# Crash/replay safety (foreachBatch is at-least-once): load filters rows
+# beyond the last COMMITTED batch id, and a replayed batch that re-appends
+# the same delta is neutralized by a read-side dropDuplicates on row_id
+# (row ids are content-keyed and unique per corpus row). A state reloaded
+# from the store reads straight from the stage tables, so the in-memory
+# union tree collapses to one scan per frame.
 
-_ST_KEYED = "incr_state_keyed"
-_ST_CONTENT = "incr_state_content"
-_ST_CLUSTERS = "incr_state_clusters_b"  # + batch id
-_ST_META = "incr_state_meta_b"  # + batch id
+_ST_KEYED_GEN = "incr_state_keyed_g"  # + generation
+_ST_CONTENT_GEN = "incr_state_content_g"  # + generation
+_ST_CLUSTERS = "incr_state_clusters_c"  # + commit seq
+_ST_META = "incr_state_meta_c"  # + commit seq
+
+
+def _latest_commit(store) -> tuple[int, dict] | None:
+    """(seq, meta dict) of the newest COMMITTED save, or None."""
+    import json as _json
+
+    best = None
+    for st in store.list_stages(_ST_META):
+        try:
+            v = int(st[len(_ST_META):])
+        except ValueError:
+            continue
+        if store.is_complete(st) and (best is None or v > best):
+            best = v
+    if best is None:
+        return None
+    row = store.read(f"{_ST_META}{best}").first()
+    return best, _json.loads(row["meta_json"])
+
+
+def _commit(store, spark, seq: int, meta: dict) -> None:
+    """Write clusters+meta stages for commit `seq`, then prune older
+    commit versions (never generation tables — compact_state owns those)."""
+    import json as _json
+
+    store.write(
+        f"{_ST_META}{seq}",
+        spark.createDataFrame([(_json.dumps(meta),)], "meta_json string"),
+    )
+    for st in store.list_stages(_ST_CLUSTERS) + store.list_stages(_ST_META):
+        prefix = _ST_CLUSTERS if st.startswith(_ST_CLUSTERS) else _ST_META
+        try:
+            v = int(st[len(prefix):])
+        except ValueError:
+            continue
+        if v < seq:
+            store.invalidate(st)
 
 
 def save_state(state: IncrementalState, store, batch_id: int) -> None:
@@ -230,77 +278,96 @@ def save_state(state: IncrementalState, store, batch_id: int) -> None:
             "state has no delta frames to persist (already saved/loaded?)"
         )
     bid = int(batch_id)
+    prev = _latest_commit(store)
+    if prev is None:
+        seq, keyed_t, content_t = 0, f"{_ST_KEYED_GEN}0", f"{_ST_CONTENT_GEN}0"
+    else:
+        seq = prev[0] + 1
+        keyed_t, content_t = prev[1]["keyed_table"], prev[1]["content_table"]
     tag = F.lit(bid).alias("_batch_id")
-    store.append(_ST_KEYED, state.delta_keyed.select("*", tag))
-    store.append(_ST_CONTENT, state.delta_content.select("*", tag))
-    store.write(f"{_ST_CLUSTERS}{bid}", state.clusters)
+    store.append(keyed_t, state.delta_keyed.select("*", tag))
+    store.append(content_t, state.delta_content.select("*", tag))
     spark = state.clusters.sparkSession
+    store.write(f"{_ST_CLUSTERS}{seq}", state.clusters)
     bl = state.blacklist
-    meta = {
+    _commit(store, spark, seq, {
         "batch_id": bid,
         "n_pairs_scored": int(state.n_pairs_scored),
         # uint64 grams survive JSON as arbitrary-precision ints
         "blacklist": None if bl is None else [int(x) for x in bl],
-    }
-    import json as _json
-
-    store.write(
-        f"{_ST_META}{bid}",
-        spark.createDataFrame([(_json.dumps(meta),)], "meta_json string"),
-    )
-    # commit landed: prune superseded versioned stages (never the current)
-    for st in store.list_stages(_ST_CLUSTERS) + store.list_stages(_ST_META):
-        prefix = _ST_CLUSTERS if st.startswith(_ST_CLUSTERS) else _ST_META
-        try:
-            v = int(st[len(prefix):])
-        except ValueError:
-            continue
-        if v < bid:
-            store.invalidate(st)
+        "keyed_table": keyed_t,
+        "content_table": content_t,
+        "clusters_table": f"{_ST_CLUSTERS}{seq}",
+    })
 
 
 def last_saved_batch_id(store) -> int | None:
     """Newest COMMITTED batch id in the store, or None if no state saved."""
-    best = None
-    for st in store.list_stages(_ST_META):
-        try:
-            v = int(st[len(_ST_META):])
-        except ValueError:
-            continue
-        if store.is_complete(st) and (best is None or v > best):
-            best = v
-    return best
+    prev = _latest_commit(store)
+    return None if prev is None else prev[1]["batch_id"]
+
+
+def _committed_frame(store, table: str, bid: int) -> DataFrame:
+    return (
+        store.read(table)
+        .filter(F.col("_batch_id") <= bid)
+        .dropDuplicates(["row_id"])
+        .drop("_batch_id")
+    )
 
 
 def load_state(store, spark) -> IncrementalState | None:
     """Rebuild the accumulated state from the newest committed save, or
     None if the store holds no state. The returned frames scan the stage
-    tables directly (no union tree — this is also the compaction path for
-    a long-running process: save then reload to reset plan size)."""
-    import json as _json
-
+    tables directly (no union tree — loading doubles as in-memory plan
+    compaction for a long-running process: save, then reload)."""
     import numpy as np
 
-    bid = last_saved_batch_id(store)
-    if bid is None:
+    prev = _latest_commit(store)
+    if prev is None:
         return None
-    row = store.read(f"{_ST_META}{bid}").first()
-    meta = _json.loads(row["meta_json"])
+    meta = prev[1]
+    bid = meta["batch_id"]
     bl = meta["blacklist"]
-    blacklist = None if bl is None else np.array(bl, dtype=np.uint64)
-
-    def committed(stage: str) -> DataFrame:
-        return (
-            store.read(stage)
-            .filter(F.col("_batch_id") <= bid)
-            .dropDuplicates(["row_id"])
-            .drop("_batch_id")
-        )
-
     return IncrementalState(
-        keyed=committed(_ST_KEYED),
-        content=committed(_ST_CONTENT),
-        clusters=store.read(f"{_ST_CLUSTERS}{bid}"),
+        keyed=_committed_frame(store, meta["keyed_table"], bid),
+        content=_committed_frame(store, meta["content_table"], bid),
+        clusters=store.read(meta["clusters_table"]),
         n_pairs_scored=meta["n_pairs_scored"],
-        blacklist=blacklist,
+        blacklist=None if bl is None else np.array(bl, dtype=np.uint64),
     )
+
+
+def compact_state(store, spark) -> IncrementalState | None:
+    """Rewrite the append tables into the next generation and drop the old
+    one — bounds file count for unbounded streams (each micro-batch append
+    leaves O(shuffle partitions) small parquet files; K batches -> O(K)
+    files scanned per load until compacted). Crash-safe by the same
+    write-new/commit/drop-old discipline as save_state: generation N+1 is
+    fully written, a meta commit points at it, only then is generation N
+    dropped. Call at any cadence (e.g. stream_resolve(compact_every=N));
+    cost is one O(corpus) rewrite, amortized over the cadence. Returns the
+    reloaded (compacted) state, or None if the store holds no state."""
+    prev = _latest_commit(store)
+    if prev is None:
+        return None
+    seq, meta = prev[0] + 1, dict(prev[1])
+    bid = meta["batch_id"]
+    old_keyed, old_content = meta["keyed_table"], meta["content_table"]
+    gen = int(old_keyed[len(_ST_KEYED_GEN):]) + 1
+    new_keyed, new_content = f"{_ST_KEYED_GEN}{gen}", f"{_ST_CONTENT_GEN}{gen}"
+    tag = F.lit(bid).alias("_batch_id")
+    store.write(new_keyed,
+                _committed_frame(store, old_keyed, bid).select("*", tag))
+    store.write(new_content,
+                _committed_frame(store, old_content, bid).select("*", tag))
+    # clusters are already a single slim table; re-point the new commit at
+    # a fresh copy so the pruning rule (commit versions < seq) stays simple
+    clusters = store.read(meta["clusters_table"])
+    store.write(f"{_ST_CLUSTERS}{seq}", clusters)
+    meta.update(keyed_table=new_keyed, content_table=new_content,
+                clusters_table=f"{_ST_CLUSTERS}{seq}")
+    _commit(store, spark, seq, meta)
+    store.invalidate(old_keyed)
+    store.invalidate(old_content)
+    return load_state(store, spark)

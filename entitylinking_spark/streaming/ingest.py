@@ -59,6 +59,7 @@ def stream_resolve(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     store=None,
+    compact_every: int | None = None,
 ):
     """Streaming -> incremental-ER bridge (round-4 verdict #6): each
     arriving micro-batch of raw repo files is folded into the accumulated
@@ -84,12 +85,16 @@ def stream_resolve(
     streaming checkpoint, so retain or discard both together. The holder's
     state is swapped to the table-backed reload after every save, so the
     in-memory plan stays one-scan deep no matter how many batches stream
-    through (load IS compaction — incremental.py module notes).
+    through. `compact_every=N` additionally rewrites the on-disk append
+    tables into a fresh generation every N folded batches, bounding
+    small-file accumulation on unbounded streams (incremental.py
+    compact_state — crash-safe write-new/commit/drop-old).
 
     Without `store`, the IncrementalState lives in driver memory only and
     this function is the single-process bridge.
     """
     from entitylinking_spark.plans.incremental import (
+        compact_state,
         last_saved_batch_id,
         load_state,
         resolve_increment,
@@ -120,10 +125,16 @@ def stream_resolve(
         if store is not None and store.enabled:
             save_state(holder["state"], store, batch_id)
             holder["last_saved_batch_id"] = batch_id
-            # table-backed reload: collapses the union tree (compaction)
-            # and leaves delta frames None — the delta is saved, and a
-            # second save_state on this state should loudly refuse
-            holder["state"] = load_state(store, spark)
+            if compact_every and holder["n_batches"] % compact_every == 0:
+                # rewrite the append tables into the next generation so
+                # file count stays bounded on unbounded streams; the
+                # returned state IS the reload below
+                holder["state"] = compact_state(store, spark)
+            else:
+                # table-backed reload: collapses the in-memory union tree
+                # and leaves delta frames None — the delta is saved, and
+                # a second save_state on this state should loudly refuse
+                holder["state"] = load_state(store, spark)
 
     writer = src.writeStream.foreachBatch(fold).option(
         "checkpointLocation", checkpoint_dir

@@ -257,15 +257,15 @@ def test_state_save_appends_o_new(spark, fixture, tmp_path):
     s2 = resolve_increment(spark.createDataFrame(rows.iloc[a:]), s1, CFG, id_col="row_id")
     save_state(s2, store, 1)
 
-    keyed = store.read("incr_state_keyed")
+    keyed = store.read("incr_state_keyed_g0")
     n_b0 = keyed.filter(F.col("_batch_id") == 0).count()
     n_b1 = keyed.filter(F.col("_batch_id") == 1).count()
     assert n_b0 == a
     assert n_b1 == len(rows) - a  # O(new), not O(corpus)
     stages = store.list_stages("incr_state_")
-    assert "incr_state_clusters_b1" in stages
-    assert "incr_state_clusters_b0" not in stages  # pruned after commit
-    assert "incr_state_meta_b0" not in stages
+    assert "incr_state_clusters_c1" in stages
+    assert "incr_state_clusters_c0" not in stages  # pruned after commit
+    assert "incr_state_meta_c0" not in stages
 
 
 def test_state_load_skips_uncommitted_and_replayed_rows(spark, fixture, tmp_path):
@@ -284,8 +284,8 @@ def test_state_load_skips_uncommitted_and_replayed_rows(spark, fixture, tmp_path
     # crash mid-save of batch 1: delta appended, meta never written
     tag = F.lit(1).alias("_batch_id")
     s2 = resolve_increment(spark.createDataFrame(rows.iloc[a:]), s1, CFG, id_col="row_id")
-    store.append("incr_state_keyed", s2.delta_keyed.select("*", tag))
-    store.append("incr_state_content", s2.delta_content.select("*", tag))
+    store.append("incr_state_keyed_g0", s2.delta_keyed.select("*", tag))
+    store.append("incr_state_content_g0", s2.delta_content.select("*", tag))
 
     loaded = load_state(store, spark)
     assert loaded.keyed.count() == a  # uncommitted batch-1 rows filtered
@@ -295,3 +295,45 @@ def test_state_load_skips_uncommitted_and_replayed_rows(spark, fixture, tmp_path
     loaded2 = load_state(store, spark)
     assert loaded2.keyed.count() == len(rows)  # dup appends collapse
     assert loaded2.content.count() == len(rows)
+
+
+def test_compact_state_bounds_files_and_preserves_results(spark, fixture, tmp_path):
+    """compact_state rewrites the append tables into the next generation:
+    the old generation is dropped, the parquet file count shrinks, and a
+    further increment folded onto the compacted state still equals batch."""
+    import os
+
+    from entitylinking_spark.checkpoint import CheckpointStore
+    from entitylinking_spark.plans.incremental import (
+        compact_state,
+        load_state,
+        save_state,
+    )
+
+    rows = fixture.rows
+    a, b = int(len(rows) * 0.4), int(len(rows) * 0.7)
+    root = tmp_path / "state"
+    store = CheckpointStore(str(root), spark)
+
+    state = None
+    for i, chunk in enumerate((rows.iloc[:a], rows.iloc[a:b])):
+        state = resolve_increment(spark.createDataFrame(chunk), state, CFG, id_col="row_id")
+        save_state(state, store, i)
+
+    def n_files(stage):
+        d = root / stage
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet")) if d.exists() else 0
+
+    files_before = n_files("incr_state_keyed_g0")
+    compacted = compact_state(store, spark)
+    stages = store.list_stages("incr_state_")
+    assert "incr_state_keyed_g1" in stages and "incr_state_keyed_g0" not in stages
+    assert "incr_state_content_g1" in stages and "incr_state_content_g0" not in stages
+    assert n_files("incr_state_keyed_g1") < files_before
+    assert compacted.keyed.count() == b
+    # reload agrees with the compacted view
+    assert load_state(store, spark).content.count() == b
+
+    s3 = resolve_increment(spark.createDataFrame(rows.iloc[b:]), compacted, CFG, id_col="row_id")
+    inc = sorted((r["row_id"], r["cluster_id"]) for r in s3.clusters.collect())
+    assert inc == _batch_clusters(spark, rows)
