@@ -220,9 +220,17 @@ def resolve_increment(
 # Crash/replay safety (foreachBatch is at-least-once): load filters rows
 # beyond the last COMMITTED batch id, and a replayed batch that re-appends
 # the same delta is neutralized by a read-side dropDuplicates on row_id
-# (row ids are content-keyed and unique per corpus row). A state reloaded
-# from the store reads straight from the stage tables, so the in-memory
-# union tree collapses to one scan per frame.
+# (row ids are content-keyed and unique per corpus row). That dedupe is a
+# full-table shuffle, so it is SCOPED: duplicates can only exist in a
+# batch whose first append attempt crashed after writing but before the
+# meta commit — i.e. the first batch a restarted process folds. Such
+# batches are recorded in meta as `suspect_batches` (save_state
+# suspect=True, set by stream_resolve on its first post-load fold); load
+# dedupes ONLY those batches' rows and unions the rest straight off the
+# scan — no shuffle at all in the no-crash case. compact_state dedupes
+# while rewriting and clears the list. A state reloaded from the store
+# reads straight from the stage tables, so the in-memory union tree
+# collapses to one scan per frame.
 
 _ST_KEYED_GEN = "incr_state_keyed_g"  # + generation
 _ST_CONTENT_GEN = "incr_state_content_g"  # + generation
@@ -267,12 +275,20 @@ def _commit(store, spark, seq: int, meta: dict) -> None:
             store.invalidate(st)
 
 
-def save_state(state: IncrementalState, store, batch_id: int) -> None:
+def save_state(state: IncrementalState, store, batch_id: int,
+               suspect: bool = False) -> None:
     """Persist `state` after folding batch `batch_id` (monotonically
     increasing per store — foreachBatch's batch_id with a stable streaming
     checkpoint). Write cost: O(this increment) for keyed/content appends
     plus the slim (row_id, cluster_id) snapshot — the one O(corpus) term,
-    two short columns, Iceberg/Parquet-compressed."""
+    two short columns, Iceberg/Parquet-compressed.
+
+    `suspect=True` records this batch in meta `suspect_batches`: pass it
+    when a previous attempt at the SAME batch may have appended before
+    crashing (stream_resolve does on its first post-load fold), so load
+    dedupes exactly those batches' rows instead of shuffling the whole
+    table. A first-ever commit onto a PRE-EXISTING append table (the
+    crashed-before-first-commit case) is marked suspect automatically."""
     if state.delta_keyed is None or state.delta_content is None:
         raise ValueError(
             "state has no delta frames to persist (already saved/loaded?)"
@@ -281,9 +297,17 @@ def save_state(state: IncrementalState, store, batch_id: int) -> None:
     prev = _latest_commit(store)
     if prev is None:
         seq, keyed_t, content_t = 0, f"{_ST_KEYED_GEN}0", f"{_ST_CONTENT_GEN}0"
+        suspects = []
+        # append table exists but nothing ever committed: a first-batch
+        # attempt crashed mid-append — its leftovers share our batch id
+        if store.list_stages(keyed_t):
+            suspect = True
     else:
         seq = prev[0] + 1
         keyed_t, content_t = prev[1]["keyed_table"], prev[1]["content_table"]
+        suspects = list(prev[1].get("suspect_batches", []))
+    if suspect and bid not in suspects:
+        suspects.append(bid)
     tag = F.lit(bid).alias("_batch_id")
     store.append(keyed_t, state.delta_keyed.select("*", tag))
     store.append(content_t, state.delta_content.select("*", tag))
@@ -298,6 +322,7 @@ def save_state(state: IncrementalState, store, batch_id: int) -> None:
         "keyed_table": keyed_t,
         "content_table": content_t,
         "clusters_table": f"{_ST_CLUSTERS}{seq}",
+        "suspect_batches": suspects,
     })
 
 
@@ -307,13 +332,17 @@ def last_saved_batch_id(store) -> int | None:
     return None if prev is None else prev[1]["batch_id"]
 
 
-def _committed_frame(store, table: str, bid: int) -> DataFrame:
-    return (
-        store.read(table)
-        .filter(F.col("_batch_id") <= bid)
-        .dropDuplicates(["row_id"])
-        .drop("_batch_id")
-    )
+def _committed_frame(store, table: str, bid: int,
+                     suspects: list[int]) -> DataFrame:
+    """Committed rows of an append table. Only `suspects` batches (crash-
+    replay candidates) pay a dedupe shuffle; everything else streams
+    straight off the scan — in the no-crash case this is shuffle-free."""
+    df = store.read(table).filter(F.col("_batch_id") <= bid)
+    sus = [b for b in suspects if b <= bid]
+    if sus:
+        dup = df.filter(F.col("_batch_id").isin(sus)).dropDuplicates(["row_id"])
+        df = df.filter(~F.col("_batch_id").isin(sus)).unionByName(dup)
+    return df.drop("_batch_id")
 
 
 def load_state(store, spark) -> IncrementalState | None:
@@ -329,9 +358,10 @@ def load_state(store, spark) -> IncrementalState | None:
     meta = prev[1]
     bid = meta["batch_id"]
     bl = meta["blacklist"]
+    sus = meta.get("suspect_batches", [])
     return IncrementalState(
-        keyed=_committed_frame(store, meta["keyed_table"], bid),
-        content=_committed_frame(store, meta["content_table"], bid),
+        keyed=_committed_frame(store, meta["keyed_table"], bid, sus),
+        content=_committed_frame(store, meta["content_table"], bid, sus),
         clusters=store.read(meta["clusters_table"]),
         n_pairs_scored=meta["n_pairs_scored"],
         blacklist=None if bl is None else np.array(bl, dtype=np.uint64),
@@ -356,17 +386,19 @@ def compact_state(store, spark) -> IncrementalState | None:
     old_keyed, old_content = meta["keyed_table"], meta["content_table"]
     gen = int(old_keyed[len(_ST_KEYED_GEN):]) + 1
     new_keyed, new_content = f"{_ST_KEYED_GEN}{gen}", f"{_ST_CONTENT_GEN}{gen}"
+    sus = meta.get("suspect_batches", [])
     tag = F.lit(bid).alias("_batch_id")
     store.write(new_keyed,
-                _committed_frame(store, old_keyed, bid).select("*", tag))
+                _committed_frame(store, old_keyed, bid, sus).select("*", tag))
     store.write(new_content,
-                _committed_frame(store, old_content, bid).select("*", tag))
+                _committed_frame(store, old_content, bid, sus).select("*", tag))
     # clusters are already a single slim table; re-point the new commit at
     # a fresh copy so the pruning rule (commit versions < seq) stays simple
     clusters = store.read(meta["clusters_table"])
     store.write(f"{_ST_CLUSTERS}{seq}", clusters)
+    # the rewrite deduped the suspect batches — the new generation is clean
     meta.update(keyed_table=new_keyed, content_table=new_content,
-                clusters_table=f"{_ST_CLUSTERS}{seq}")
+                clusters_table=f"{_ST_CLUSTERS}{seq}", suspect_batches=[])
     _commit(store, spark, seq, meta)
     store.invalidate(old_keyed)
     store.invalidate(old_content)

@@ -107,6 +107,12 @@ def stream_resolve(
         if loaded is not None:
             holder["state"] = loaded
             holder["last_saved_batch_id"] = last_saved_batch_id(store)
+            # the first batch folded after a restart may be a replay whose
+            # previous attempt appended before crashing — mark it suspect
+            # so load dedupes exactly that batch (incremental.py notes;
+            # the no-prior-commit crash case is auto-detected by
+            # save_state itself)
+            holder["_replay_suspect"] = True
     reader = spark.readStream.schema(REPO_FILES)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -123,7 +129,8 @@ def stream_resolve(
         )
         holder["n_batches"] = holder.get("n_batches", 0) + 1
         if store is not None and store.enabled:
-            save_state(holder["state"], store, batch_id)
+            save_state(holder["state"], store, batch_id,
+                       suspect=holder.pop("_replay_suspect", False))
             holder["last_saved_batch_id"] = batch_id
             if compact_every and holder["n_batches"] % compact_every == 0:
                 # rewrite the append tables into the next generation so

@@ -289,12 +289,49 @@ def test_state_load_skips_uncommitted_and_replayed_rows(spark, fixture, tmp_path
 
     loaded = load_state(store, spark)
     assert loaded.keyed.count() == a  # uncommitted batch-1 rows filtered
+    # the clean commit has no suspect batches -> load is shuffle-free
+    plan = loaded.keyed._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" not in plan
 
-    # replay lands the same batch 1 again, this time committing
-    save_state(s2, store, 1)
+    # replay lands the same batch 1 again, this time committing; the
+    # restarted driver marks the replayed batch suspect (stream_resolve's
+    # first post-load fold) so load dedupes exactly that batch
+    save_state(s2, store, 1, suspect=True)
     loaded2 = load_state(store, spark)
     assert loaded2.keyed.count() == len(rows)  # dup appends collapse
     assert loaded2.content.count() == len(rows)
+    plan2 = loaded2.keyed._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" in plan2  # scoped to the suspect batch
+
+    # compaction rewrites clean and clears the suspect list
+    from entitylinking_spark.plans.incremental import compact_state
+
+    compacted = compact_state(store, spark)
+    assert compacted.keyed.count() == len(rows)
+    plan3 = compacted.keyed._jdf.queryExecution().analyzed().toString()
+    assert "Deduplicate" not in plan3
+
+
+def test_first_commit_onto_crashed_appends_is_suspect(spark, fixture, tmp_path):
+    """A first-ever batch whose previous attempt appended but never
+    committed (store has the table, no meta) must be auto-marked suspect
+    by save_state, so the committed load dedupes the leftovers."""
+    from entitylinking_spark.checkpoint import CheckpointStore
+    from entitylinking_spark.plans.incremental import load_state, save_state
+
+    rows = fixture.rows.iloc[:120]
+    store = CheckpointStore(str(tmp_path / "state"), spark)
+    s1 = resolve_increment(spark.createDataFrame(rows), None, CFG, id_col="row_id")
+    tag = F.lit(0).alias("_batch_id")
+    # crashed first attempt: appends landed, no commit
+    store.append("incr_state_keyed_g0", s1.delta_keyed.select("*", tag))
+    store.append("incr_state_content_g0", s1.delta_content.select("*", tag))
+    assert load_state(store, spark) is None  # nothing committed yet
+
+    save_state(s1, store, 0)  # replayed attempt commits
+    loaded = load_state(store, spark)
+    assert loaded.keyed.count() == len(rows)
+    assert loaded.content.count() == len(rows)
 
 
 def test_compact_state_bounds_files_and_preserves_results(spark, fixture, tmp_path):
