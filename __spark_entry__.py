@@ -734,6 +734,72 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 scale path, IVF variant (operators/ivf.py): corpus partitioned
+    into 16 Voronoi cells around data-seeded quantized centroids (vec_id <
+    16), queries vec_id < 3 probe their 2 nearest cells, exact cosine
+    top-5 inside. Cell assignment is pure integer arithmetic (floor(x *
+    2**12), a power-of-two scale — exact in double), so DuckDB recomputes
+    every cell id bit-for-bit; the final cosine uses the same full-double
+    4-dp guard as similarity_topk."""
+    from entitylinking_spark.operators.ivf import ivf_topk, seed_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = seed_centroids(emb, 16)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, q, k=5, centroids=cents, nprobe=2)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    ).orderBy("query_id", "rank")
+
+
+IVF_TOPK_SQL = """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 4096.0)) AS qvec,
+         CAST(embedding AS DOUBLE[]) AS dvec
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cid, qvec AS cvec FROM qv ORDER BY vec_id LIMIT 16
+),
+assigned AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_inner_product(c.cvec, c.cvec)
+                    - 2 * list_inner_product(e.qvec, c.cvec), c.cid
+         ) AS rnk
+  FROM qv e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, cid AS cell FROM assigned WHERE rnk = 1),
+probes AS (
+  SELECT vec_id AS query_id, cid AS cell FROM assigned
+  WHERE vec_id < 3 AND rnk <= 2
+),
+scored AS (
+  SELECT p.query_id, ce.vec_id,
+         list_cosine_similarity(ec.dvec, eq.dvec) AS cosine
+  FROM probes p
+  JOIN cells ce ON ce.cell = p.cell
+  JOIN qv ec ON ec.vec_id = ce.vec_id
+  JOIN qv eq ON eq.vec_id = p.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank, ROUND(cosine, 4) AS cosine_r
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def g5_overlapping_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 overlapping tournament groups (size 3, overlap 2) over per-nation
     supplier rankings — the named operator for the reference's
@@ -1928,6 +1994,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "g3_connected_components": (g3_connected_components, G3_SQL),
     "lang_id_stopword": (lang_id_stopword, LANG_ID_SQL),
     "similarity_topk": (similarity_topk, SIM_TOPK_SQL),
+    "ivf_topk_probe": (ivf_topk_probe, IVF_TOPK_SQL),
     "a2_collect_sorted": (a2_collect_sorted, A2_SQL),
     "q_cube_counts": (q_cube_counts, CUBE_SQL),
     "j3_channel_merge": (j3_channel_merge, J3_SQL),

@@ -243,6 +243,57 @@ def auto_n_planes(corpus_count: int, bucket_cap: int = 2_000,
     return max(lo, min(hi, int(math.ceil(math.log2(need))) if need > 1 else lo))
 
 
+def salt_hot_blocks(corp: DataFrame, key_col: str, cap: int, max_salt: int,
+                    salt_id_col: str = "vec_id", metrics=None,
+                    metric_name: str = "block_census", **metric_tags):
+    """Census + salt the skew tail of a blocked corpus frame; shared by
+    the SRP-bucket (lsh_topk_shuffle) and IVF-cell (ivf.ivf_topk) joins.
+
+    One pass censuses block sizes (persisted so a metrics collect does not
+    recompute it — ADVICE r4); only HOT blocks (size > cap) are collected
+    and re-emitted as a broadcast literal frame, so the broadcast is
+    O(skewed blocks) at any corpus size. Blocks at or under cap default to
+    n_salt=1 through the left join + coalesce. A block of size S gets
+    min(ceil(S/cap), max_salt) salt groups; corpus rows land in ONE group
+    (hash of `salt_id_col`) — the probe side replicates across groups, so
+    salting changes task boundaries, never results.
+
+    Returns (corp with n_salt+salt columns, hot broadcast frame). Census
+    stats (n_buckets / max_bucket / mean_bucket / n_hot / max_n_salt) plus
+    `metric_tags` are recorded under `metric_name` when `metrics` is set.
+    """
+    key_type = corp.schema[key_col].dataType.simpleString()
+    census = corp.groupBy(key_col).agg(F.count("*").alias("_bsize")).persist()
+    if metrics is not None:
+        stats = census.agg(
+            F.count("*").alias("n_buckets"),
+            F.max("_bsize").alias("max_bucket"),
+            F.avg("_bsize").alias("mean_bucket"),
+            F.sum((F.col("_bsize") > cap).cast("long")).alias("n_hot"),
+            F.max(F.least(F.ceil(F.col("_bsize") / cap),
+                          F.lit(max_salt))).alias("max_n_salt"),
+        ).collect()[0].asDict()
+        metrics.record(
+            metric_name, max_salt=max_salt, **metric_tags,
+            **{kk: (float(v) if v is not None else None) for kk, v in stats.items()},
+        )
+    hot_rows = census.filter(F.col("_bsize") > cap).select(
+        key_col,
+        F.least(F.ceil(F.col("_bsize") / cap).cast("int"),
+                F.lit(max_salt)).alias("n_salt"),
+    ).collect()
+    census.unpersist()
+    hot = corp.sparkSession.createDataFrame(
+        hot_rows, f"{key_col} {key_type}, n_salt int"
+    )
+    corp = corp.join(F.broadcast(hot), key_col, "left").withColumn(
+        "n_salt", F.coalesce(F.col("n_salt"), F.lit(1))
+    ).withColumn(
+        "salt", F.pmod(F.xxhash64(salt_id_col), F.col("n_salt")).cast("int")
+    )
+    return corp, hot
+
+
 def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                      n_planes: int | None = None, probe_bits: int = 1,
                      bucket_cap: int = 2_000, dim: int | None = None,
@@ -310,44 +361,10 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     ).withColumn("bucket", bucket_udf(F.col("_vec"))).withColumn(
         "_n", norm(F.col("_vec"))
     )
-    # one corpus pass for the census (ADVICE r4: with metrics on, an
-    # unpersisted census ran the SRP-bucket UDF + shuffle once for the
-    # stats collect and again per hot-join reference). persist -> read the
-    # stats and the hot tail out of the cache -> unpersist; the hot rows
-    # are collected to the driver and re-emitted as a literal frame — they
-    # were destined for a broadcast (a driver collect) anyway, and the hot
-    # set is O(skewed buckets) at any corpus size.
-    census = corp.groupBy("bucket").agg(F.count("*").alias("_bsize")).persist()
-    if metrics is not None:
-        stats = census.agg(
-            F.count("*").alias("n_buckets"),
-            F.max("_bsize").alias("max_bucket"),
-            F.avg("_bsize").alias("mean_bucket"),
-            F.sum((F.col("_bsize") > bucket_cap).cast("long")).alias("n_hot"),
-            F.max(F.least(F.ceil(F.col("_bsize") / bucket_cap),
-                          F.lit(max_salt))).alias("max_n_salt"),
-        ).collect()[0].asDict()
-        metrics.record(
-            "ann_bucket_census", n_planes=n_planes, bucket_cap=bucket_cap,
-            max_salt=max_salt,
-            **{kk: (float(v) if v is not None else None) for kk, v in stats.items()},
-        )
-    # only the skew tail is broadcast: buckets at or under cap default to
-    # n_salt=1 through the left join, so the broadcast is O(hot buckets)
-    # regardless of corpus size (2^n_planes grows with N under auto-sizing)
-    hot_rows = census.filter(F.col("_bsize") > bucket_cap).select(
-        "bucket",
-        F.least(F.ceil(F.col("_bsize") / bucket_cap).cast("int"),
-                F.lit(max_salt)).alias("n_salt"),
-    ).collect()
-    census.unpersist()
-    hot = embeddings.sparkSession.createDataFrame(
-        hot_rows, "bucket long, n_salt int"
-    )
-    corp = corp.join(F.broadcast(hot), "bucket", "left").withColumn(
-        "n_salt", F.coalesce(F.col("n_salt"), F.lit(1))
-    ).withColumn(
-        "salt", F.pmod(F.xxhash64("vec_id"), F.col("n_salt")).cast("int")
+    corp, hot = salt_hot_blocks(
+        corp, "bucket", bucket_cap, max_salt, metrics=metrics,
+        metric_name="ann_bucket_census",
+        n_planes=n_planes, bucket_cap=bucket_cap,
     )
 
     # the bucket kernel runs ONCE into _b0 (ArrowEvalPython is its own plan
