@@ -642,6 +642,160 @@ FROM t ORDER BY doc_id
 """
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline PII audit + scrub (operators/pii.py): the documents
+    table is salted with deterministic doc_id-derived PII (an email, a
+    phone, an SSN shape, an IPv4) so the masking path is value-checked,
+    not vacuous. Both engines run the SAME RE2-safe regexes; DuckDB uses
+    the 'g' flag to match Spark's replace-all semantics."""
+    from entitylinking_spark.operators.pii import pii_report
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com call +1415555"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 done"),
+        ).alias("text"),
+    )
+    return pii_report(d).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 40)
+         || ' contact user' || CAST(doc_id AS VARCHAR)
+         || '@example.com call +1415555'
+         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         || ' ssn 123-45-6789 ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         || '.7 done' AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+       CAST(len(regexp_extract_all(text,
+         '\\+\\d{9,15}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+         '\\+\\d{9,15}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) +
+        len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) +
+        len(regexp_extract_all(text, '\\+\\d{9,15}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b')) +
+        len(regexp_extract_all(text,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_pii
+FROM d ORDER BY doc_id
+"""
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline Gopher-style repetition signals (textstats.
+    repetition_stats, Rae et al. 2021 Table A1 token variant): per-doc
+    top-bigram and duplicate-bigram occurrence fractions. Fractions are
+    one IEEE double division of two exact integers in both engines, so
+    4-dp rounding is deterministic."""
+    from entitylinking_spark.operators.textstats import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = repetition_stats(d, n=2)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("top_gram_count").cast("long").alias("top_gram_count"),
+        F.round("top_gram_frac", 4).alias("top_gram_frac_r"),
+        F.round("dup_gram_frac", 4).alias("dup_gram_frac_r"),
+    ).orderBy("doc_id")
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS gram
+  FROM toks
+),
+per_gram AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_grams, max(c) AS top_gram_count,
+         CAST(max(c) AS DOUBLE) / sum(c) AS topf,
+         CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dupf
+  FROM per_gram GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.top_gram_count, 0) AS top_gram_count,
+       ROUND(COALESCE(p.topf, 0.0), 4) AS top_gram_frac_r,
+       ROUND(COALESCE(p.dupf, 0.0), 4) AS dup_gram_frac_r
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline duplicate-line stats (textstats.duplicate_line_stats):
+    the documents table is reshaped into 3 lines per doc (the first 40
+    chars repeated twice + the next 40), so every doc has a known
+    duplicate line and the char-weighted fraction is exercised."""
+    from entitylinking_spark.operators.textstats import duplicate_line_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 40),
+        ).alias("text"),
+    )
+    out = duplicate_line_stats(d)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("dup_line_frac", 4).alias("dup_line_frac_r"),
+        F.round("dup_line_char_frac", 4).alias("dup_line_char_frac_r"),
+    ).orderBy("doc_id")
+
+
+DUP_LINES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+         || chr(10) || substr(text, 41, 40) AS text
+  FROM documents
+),
+ln AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM d
+),
+nz AS (SELECT doc_id, line FROM ln WHERE trim(line) <> ''),
+per_line AS (SELECT doc_id, line, count(*) AS c FROM nz GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_lines,
+         CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dupf,
+         CAST(sum((c - 1) * length(line)) AS DOUBLE)
+           / sum(c * length(line)) AS dupcf
+  FROM per_line GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_lines, 0) AS n_lines,
+       ROUND(COALESCE(p.dupf, 0.0), 4) AS dup_line_frac_r,
+       ROUND(COALESCE(p.dupcf, 0.0), 4) AS dup_line_char_frac_r
+FROM d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline embedding near-dup pairs: integer-SRP bucketed cosine
     pairs >= 0.35 (4 planes). The bucket assignment is exact int64
@@ -2006,6 +2160,9 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "a7_recall_at_k": (a7_recall_at_k, A7_SQL),
     "ann_topk_shuffle": (ann_topk_shuffle, ANN_TOPK_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+    "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
+    "dup_lines": (dup_lines, DUP_LINES_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
     "g5_overlapping_groups": (g5_overlapping_groups, G5_SQL),
     "g5_repair_oracle": (g5_repair_oracle, G5_REPAIR_SQL),

@@ -130,3 +130,75 @@ def make_fingerprint_udf(window: int = 8):
 
 
 fingerprint_udf = make_fingerprint_udf()
+
+
+def ngram_tokens(col: str | Column, n: int = 2) -> Column:
+    """Token n-grams as space-joined strings (empty array when the doc has
+    fewer than n tokens — sequence() would otherwise count DOWN)."""
+    toks = tokenize(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, Table A1, token-
+    occurrence variant): per document, the fraction of n-gram occurrences
+    inside the single most-frequent n-gram (`top_gram_frac`) and the
+    fraction that are duplicates of an earlier occurrence
+    (`dup_gram_frac`). High values mark boilerplate/templated text.
+
+    Plan: explode n-grams -> ONE (id, gram) groupBy (map-side combined, so
+    shuffle volume is bounded by the distinct-gram count per partition,
+    not the token count) -> per-doc agg. Documents with < n tokens get
+    zero fractions through the left join + coalesce.
+    """
+    grams = docs.select(
+        F.col(id_col), F.explode(ngram_tokens(text_col, n)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count("*").alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.max("c").alias("top_gram_count"),
+        (F.max("c") / F.sum("c")).alias("top_gram_frac"),
+        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("dup_gram_frac"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("top_gram_count", F.lit(0)).alias("top_gram_count"),
+        F.coalesce("top_gram_frac", F.lit(0.0)).alias("top_gram_frac"),
+        F.coalesce("dup_gram_frac", F.lit(0.0)).alias("dup_gram_frac"),
+    )
+
+
+def duplicate_line_stats(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-line fraction per document (Gopher Table A1): the share
+    of non-empty lines that repeat an earlier line, plus the share of
+    line CHARACTERS inside repeated lines. Same one-shuffle plan as
+    repetition_stats."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda x: F.trim(x) != "")
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count("*").alias("c"))
+    per_doc = per_line.groupBy(id_col).agg(
+        F.sum("c").alias("n_lines"),
+        ((F.sum("c") - F.count("*")) / F.sum("c")).alias("dup_line_frac"),
+        (F.sum((F.col("c") - 1) * F.length("line"))
+         / F.sum(F.col("c") * F.length("line"))).alias("dup_line_char_frac"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+        F.coalesce("dup_line_char_frac", F.lit(0.0)).alias("dup_line_char_frac"),
+    )
