@@ -135,6 +135,25 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("ann_shuffle", ann)
 
+    # IVF counterpart: k-means fit (driver sample) + cell join, same
+    # every-row-queries-the-index shape as ann_shuffle
+    def ivf():
+        from entitylinking_spark.operators.ivf import ivf_topk
+
+        q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+        return ivf_topk(emb, q, k=10, n_cells=32, nprobe=2).count()
+
+    timed("ivf_shuffle", ivf)
+
+    # Gopher repetition signals over the documents table (one map-side
+    # combined (doc, gram) shuffle)
+    def repetition():
+        from entitylinking_spark.operators.textstats import repetition_stats
+
+        return repetition_stats(docs, n=2).count()
+
+    timed("repetition", repetition)
+
     # --- media decode throughput (round-4 verdict #5) ---------------------
     # per-format MB/s through the mapInPandas decode path; PNG uses the
     # all-Paeth worst case so the number is the reconstruction floor.
