@@ -796,6 +796,81 @@ ORDER BY d.doc_id
 """
 
 
+def decontam_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline benchmark decontamination (decontam.decontaminate,
+    GPT-3 Appendix C n-gram collision rule at n=5): the benchmark is the
+    first 200 chars of every 37th document, so contamination is planted by
+    construction and the flag is value-checked. Spark matches gram
+    xxhash64 values; DuckDB matches the gram STRINGS — identical results
+    absent a 64-bit collision (none at this scale)."""
+    from entitylinking_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return decontaminate(d, bench, n=5).orderBy("doc_id")
+
+
+# 5-gram list over the shared tokenizer; empty when < 5 tokens
+# (generate_series(1, n) is empty for n < 1, matching ngram_tokens)
+_G5_SQL = ("list_transform(generate_series(1, len({t}) - 4), "
+           "i -> array_to_string({t}[i:i+4], ' '))")
+
+DECONTAM_SQL = f"""
+WITH bt AS (
+  SELECT {_TOKS_SQL.replace('text', 'substr(text, 1, 200)')} AS t
+  FROM documents WHERE doc_id % 37 = 0
+),
+bg AS (SELECT DISTINCT unnest({_G5_SQL.format(t='t')}) AS gram FROM bt),
+dt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_G5_SQL.format(t='t')}) AS gram FROM dt
+  )
+),
+hits AS (
+  SELECT doc_id, count(*) AS bench_hits
+  FROM dg JOIN bg USING (gram) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.bench_hits, 0) AS bench_hits,
+       COALESCE(h.bench_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline deterministic split assignment (decontam.split_assign):
+    seeded md5-bucket train/val/test bands. Weights are binary-exact
+    (0.75/0.125/0.125) so the cumulative thresholds are the same doubles
+    in both engines; the bucket is an exact power-of-two division of the
+    60-bit md5 hash (relhash.md5_hash60 twin)."""
+    from entitylinking_spark.operators.decontam import split_assign
+
+    d = _t(spark, sf_dir, "documents")
+    return split_assign(
+        d, weights={"train": 0.75, "val": 0.125, "test": 0.125}, seed="v1"
+    ).orderBy("doc_id")
+
+
+SPLIT_DOCS_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST({_H60_SQL.format(x="'v1:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+           / 1152921504606846976.0 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 0.75 THEN 'train'
+            WHEN bucket < 0.875 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline embedding near-dup pairs: integer-SRP bucketed cosine
     pairs >= 0.35 (4 planes). The bucket assignment is exact int64
@@ -2179,6 +2254,8 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     # value-checked end to end through the mapInPandas plumbing
     "media_features_demo": (media_features_demo, MEDIA_FEATURES_SQL),
     "linking_channels": (linking_channels, LINKING_CHANNELS_SQL),
+    "decontam_docs": (decontam_docs, DECONTAM_SQL),
+    "split_docs": (split_docs, SPLIT_DOCS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

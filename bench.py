@@ -154,6 +154,19 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("repetition", repetition)
 
+    # benchmark decontamination: every-37th-doc benchmark, broadcast gram
+    # set, map-side flagging (the driver-oracle query shape at bench scale)
+    def decontam_run():
+        from entitylinking_spark.operators.decontam import decontaminate
+
+        bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 1, 200).alias("text"),
+        )
+        return decontaminate(docs, bench, n=5).filter("contaminated").count()
+
+    timed("decontam", decontam_run)
+
     # --- media decode throughput (round-4 verdict #5) ---------------------
     # per-format MB/s through the mapInPandas decode path; PNG uses the
     # all-Paeth worst case so the number is the reconstruction floor.

@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-from .similarity import _SRP_QUANT, dot, norm, salt_hot_blocks
+from .similarity import _SRP_QUANT, _dot_arrow, dot, norm, salt_hot_blocks
 
 _QUANT = _SRP_QUANT  # 2**12: exact scaling of float32/64 in double
 
@@ -140,6 +140,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              cell_cap: int = 2_000, max_salt: int = 64,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "query_id", qvec_col: str = "embedding",
+             kernel: str = "native",
              corpus_count: int | None = None, metrics=None) -> DataFrame:
     """Corpus-scale IVF top-k: cell equi-join, skew-salted.
 
@@ -186,13 +187,18 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
     )
 
-    # JVM fold = bit-exact sequential sum, the DuckDB oracle twin (the
-    # arrow einsum kernel differs in the last ulp — similarity.py note)
+    # kernel: 'native' = JVM fold, bit-exact sequential sum (the DuckDB
+    # oracle twin); 'arrow' = batched BLAS einsum for pair-heavy runs
+    # (last-ulp sum-order differences — similarity.py note)
+    if kernel == "arrow":
+        dot_pair = _dot_arrow(F.col("_vec"), F.col("_qvec"))
+    else:
+        dot_pair = dot(F.col("_vec"), F.col("_qvec"))
     denom = F.col("_n") * F.col("_qn")
     scored = corp.join(q, ["cell", "salt"]).select(
         "query_id", "vec_id",
         F.when(denom == 0, F.lit(0.0))
-        .otherwise(dot(F.col("_vec"), F.col("_qvec")) / denom).alias("cosine"),
+        .otherwise(dot_pair / denom).alias("cosine"),
     )
     # probed cells are disjoint (each corpus row is in exactly one cell):
     # no (query_id, vec_id) dedup needed before ranking

@@ -116,6 +116,23 @@ def test_bucket_expr_deterministic_and_integer(spark):
     assert b3 == b1
 
 
+def test_arrow_kernel_matches_native(clustered):
+    """kernel='arrow' (batched BLAS einsum) returns the same ranked
+    neighbors as the JVM-fold default; cosines agree to float tolerance
+    (summation order is the only difference)."""
+    emb, q = clustered
+    native = lsh_topk_shuffle(emb, q, k=5, n_planes=8, probe_bits=1, dim=DIM)
+    arrow = lsh_topk_shuffle(emb, q, k=5, n_planes=8, probe_bits=1, dim=DIM,
+                             kernel="arrow")
+    a = {(r["query_id"], r["vec_id"], r["rank"]): r["cosine"]
+         for r in native.collect()}
+    b = {(r["query_id"], r["vec_id"], r["rank"]): r["cosine"]
+         for r in arrow.collect()}
+    assert a.keys() == b.keys()
+    for key, cos in a.items():
+        assert abs(b[key] - cos) < 1e-9
+
+
 def test_probe_bits_monotone_best(clustered):
     """Probing more buckets can only add candidates, so the per-query best
     cosine is monotone in probe_bits."""

@@ -1,0 +1,142 @@
+"""Benchmark decontamination + split assignment (operators/decontam.py).
+
+Corpus-scale generalization of the reference's eval-split key exclusion
+(/root/reference/OneNet/data_process.py:137-169).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitylinking_spark.metrics import MetricsCollector
+from entitylinking_spark.operators.decontam import (
+    contamination_pairs,
+    decontaminate,
+    split_assign,
+    split_bucket,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 docs; docs 0-9 embed a verbatim benchmark sentence (planted
+    contamination), the rest are distinct filler."""
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    rows = []
+    for i in range(60):
+        filler = " ".join(f"w{i}x{j}" for j in range(30))
+        text = f"{filler} {leak}" if i < 10 else filler
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).persist()
+    bench = spark.createDataFrame(
+        [(100, leak), (101, "completely unrelated benchmark question here")],
+        ["bench_id", "text"],
+    ).persist()
+    return docs, bench
+
+
+def test_planted_contamination_flagged(corpus):
+    docs, bench = corpus
+    out = decontaminate(docs, bench, n=5).collect()
+    flags = {r["doc_id"]: r["contaminated"] for r in out}
+    assert len(out) == 60  # every doc returned
+    for i in range(60):
+        assert flags[i] == (i < 10), f"doc {i}"
+    hits = {r["doc_id"]: r["bench_hits"] for r in out}
+    # 10-token leak sentence -> 6 distinct 5-grams... plus boundary grams
+    # spanning filler+leak are NOT in the benchmark, so exactly 6
+    assert all(hits[i] == 6 for i in range(10))
+    assert all(hits[i] == 0 for i in range(10, 60))
+
+
+def test_short_docs_and_benchmarks_never_flag(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "the quick brown fox jumps")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], ["bench_id", "text"]
+    )
+    # n=13 > every token count: no grams on either side, nothing flagged
+    out = decontaminate(docs, bench, n=13).collect()
+    assert all(not r["contaminated"] for r in out)
+    # at n=5 doc 2 matches exactly
+    out5 = {r["doc_id"]: r["contaminated"]
+            for r in decontaminate(docs, bench, n=5).collect()}
+    assert out5 == {1: False, 2: True}
+
+
+def test_broadcast_and_shuffle_paths_agree(corpus):
+    docs, bench = corpus
+    bc = decontaminate(docs, bench, n=5)
+    sh = decontaminate(docs, bench, n=5, broadcast_max_grams=0)
+    a = sorted(map(tuple, bc.collect()))
+    b = sorted(map(tuple, sh.collect()))
+    assert a == b
+    # the small-benchmark plan really does broadcast
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString() \
+        or "BroadcastHashJoin" in bc._jdf.queryExecution().toString()
+
+
+def test_contamination_pairs_evidence(corpus):
+    docs, bench = corpus
+    pairs = contamination_pairs(docs, bench, n=5).collect()
+    got = {(r["doc_id"], r["bench_id"]): r["shared_grams"] for r in pairs}
+    assert set(got) == {(i, 100) for i in range(10)}
+    assert all(v == 6 for v in got.values())
+
+
+def test_decontam_metrics_census(corpus):
+    docs, bench = corpus
+    mc = MetricsCollector()
+    decontaminate(docs, bench, n=5, metrics=mc).count()
+    census = [s for s in mc.stages if s["stage"] == "decontam_gram_census"][0]
+    # leak sentence: 6 5-grams; unrelated bench item: 1 5-gram (5 tokens)
+    assert census["benchmark_grams"] == 7
+    assert census["broadcast"] is True
+
+
+def test_empty_inputs(spark, corpus):
+    docs, bench = corpus
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_bench = spark.createDataFrame([], "bench_id long, text string")
+    assert decontaminate(empty_docs, bench, n=5).count() == 0
+    out = decontaminate(docs, empty_bench, n=5).collect()
+    assert len(out) == 60 and all(not r["contaminated"] for r in out)
+
+
+def test_split_assign_deterministic_and_stable(corpus):
+    docs, _ = corpus
+    a = {r["doc_id"]: r["split"] for r in split_assign(docs).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in split_assign(docs.repartition(7)).collect()}
+    assert a == b  # partitioning-independent
+    # appending new docs never moves an old doc's split
+    more = docs.sparkSession.createDataFrame(
+        [(1000 + i, "x") for i in range(40)], ["doc_id", "text"]
+    )
+    c = {r["doc_id"]: r["split"]
+         for r in split_assign(docs.unionByName(more)).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # different seed reshuffles
+    d = {r["doc_id"]: r["split"]
+         for r in split_assign(docs, seed="v2").collect()}
+    assert d != a
+
+
+def test_split_weights_roughly_respected(spark):
+    docs = spark.range(4000).withColumnRenamed("id", "doc_id")
+    out = split_assign(docs, weights={"train": 0.8, "val": 0.2})
+    shares = {r["split"]: r["c"]
+              for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()}
+    assert abs(shares["train"] / 4000 - 0.8) < 0.03
+    assert abs(shares["val"] / 4000 - 0.2) < 0.03
+    with pytest.raises(ValueError):
+        split_assign(docs, weights={})
+    with pytest.raises(ValueError):
+        split_assign(docs, weights={"a": -1.0, "b": 2.0})
+
+
+def test_split_bucket_uniform(spark):
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    m = docs.select(F.avg(split_bucket("doc_id")).alias("m")).first()["m"]
+    assert abs(m - 0.5) < 0.02
