@@ -17,10 +17,15 @@ exclusion); decontamination is the corpus-scale generalization every LLM
 data pipeline needs.
 
 Scale design:
-- Doc-side n-grams are generated map-side with native expressions
-  (tokenize -> transform/slice/concat_ws, whole-stage codegen) and matched
-  as 64-bit xxhash64 values, never strings, so the benchmark set broadcast
-  is 8 bytes/gram and the probe is a long==long hash lookup.
+- Doc-side n-grams are generated map-side and matched as 64-bit hashes,
+  never strings, so the benchmark set broadcast is 8 bytes/gram and the
+  probe is a long==long hash lookup. The default kernel is the Arrow
+  rolling-combine siphash (same architecture as the keys stage's MinHash
+  kernel — token strings hashed once per batch, gram hash = shifted
+  multiply-xor of n token hashes; measured ~5x the expression path per
+  core); kernel='expr' keeps the whole-stage-codegen
+  ngram_tokens+xxhash64 twin, whose gram-STRING formulation is what the
+  DuckDB oracle recomputes.
 - A benchmark is almost always tiny relative to the corpus (MMLU-sized:
   ~10^5 items, ~10^7 grams ~ 80 MB hashed). When its distinct gram count
   is <= `broadcast_max_grams` the join is broadcast: the 100 TB doc scan
@@ -37,8 +42,12 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
 
+from entitylinking_spark.functions.hashing import _TOKEN_RE, _shingle_hashes
 from entitylinking_spark.functions.relhash import md5_hash60
 from entitylinking_spark.operators.textstats import ngram_tokens
 
@@ -46,23 +55,72 @@ from entitylinking_spark.operators.textstats import ngram_tokens
 _HASH_SPACE = float(1 << 60)
 
 
+def make_gram_hash_udf(n: int):
+    """Arrow kernel: text -> array<long> of DISTINCT token n-gram hashes.
+
+    The throughput path (same architecture as the keys stage's MinHash
+    kernel): token strings are siphashed once per batch, gram hashes are a
+    numeric rolling combine — no gram-string building. Measured ~5x the
+    whole-stage-codegen ngram_tokens expression per core at sf0.1 (the
+    interpreted transform/slice/concat_ws HOF is the expression path's
+    floor). Rows with fewer than n tokens return an EMPTY array — the
+    decontamination rule's semantics, NOT _shingle_hashes' token fallback.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def gram_hashes(text: pd.Series) -> pd.Series:
+        filled = text.fillna("")
+        toks = filled.str.lower().str.findall(_TOKEN_RE)
+        tok_lists = toks.tolist()
+        if not tok_lists:
+            return pd.Series([], dtype=object)
+        base, offsets = _shingle_hashes(tok_lists, filled.tolist(), n)
+        bounds = np.append(offsets, base.size)
+        empty = np.empty(0, dtype=np.int64)
+        out = [
+            empty if len(tl) < n
+            else np.unique(base[bounds[i]:bounds[i + 1]]).view(np.int64)
+            for i, tl in enumerate(tok_lists)
+        ]
+        return pd.Series(out)
+
+    return gram_hashes
+
+
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int,
-                 out: str) -> DataFrame:
-    """(id, text) -> (id, gram hash) with per-document distinct grams,
-    all map-side expressions."""
+                 out: str, kernel: str = "arrow") -> DataFrame:
+    """(id, text) -> (id, gram hash) with per-document distinct grams.
+
+    kernel='arrow': siphash rolling-combine kernel (the scale path).
+    kernel='expr': whole-stage-codegen expressions hashing gram STRINGS
+    with xxhash64 — the relational twin the DuckDB oracle narrative uses.
+    The two hash spaces differ; both sides of a match MUST use the same
+    kernel. Match decisions are identical modulo 64-bit collisions.
+    """
+    if kernel == "expr":
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(ngram_tokens(text_col, n))).alias("_g"),
+        ).select(id_col, F.xxhash64("_g").alias(out))
+    udf = make_gram_hash_udf(n)
     return df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(ngram_tokens(text_col, n))).alias("_g"),
-    ).select(id_col, F.xxhash64("_g").alias(out))
+        F.col(id_col), F.explode(udf(text_col)).alias(out)
+    )
 
 
 def benchmark_gram_set(benchmark: DataFrame, n: int = 13,
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       kernel: str = "arrow") -> DataFrame:
     """Distinct n-gram hashes of the benchmark — the probe set."""
+    if kernel == "expr":
+        return (
+            benchmark.select(F.explode(ngram_tokens(text_col, n)).alias("_g"))
+            .select(F.xxhash64("_g").alias("bh"))
+            .distinct()
+        )
+    udf = make_gram_hash_udf(n)
     return (
-        benchmark.select(F.explode(ngram_tokens(text_col, n)).alias("_g"))
-        .select(F.xxhash64("_g").alias("bh"))
-        .distinct()
+        benchmark.select(F.explode(udf(text_col)).alias("bh")).distinct()
     )
 
 
@@ -70,6 +128,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text",
                   broadcast_max_grams: int = 20_000_000,
+                  kernel: str = "arrow",
                   metrics=None) -> DataFrame:
     """Per-document contamination flag vs a benchmark corpus.
 
@@ -82,7 +141,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     Every document is returned (left join semantics), so the output can be
     used directly as a keep/drop filter.
     """
-    grams = benchmark_gram_set(benchmark, n, bench_text_col)
+    grams = benchmark_gram_set(benchmark, n, bench_text_col, kernel=kernel)
     n_grams = grams.count()  # needed for the broadcast decision anyway
     if metrics is not None:
         metrics.record("decontam_gram_census", n=n,
@@ -91,7 +150,7 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 13,
     if n_grams <= broadcast_max_grams:
         grams = F.broadcast(grams)
 
-    doc_grams = _gram_hashes(docs, id_col, text_col, n, "bh")
+    doc_grams = _gram_hashes(docs, id_col, text_col, n, "bh", kernel=kernel)
     hits = (
         doc_grams.join(grams, "bh")  # inner: only contaminated grams survive
         .groupBy(id_col)
@@ -110,22 +169,17 @@ def contamination_pairs(docs: DataFrame, benchmark: DataFrame, n: int = 13,
                         id_col: str = "doc_id", text_col: str = "text",
                         bench_id_col: str = "bench_id",
                         bench_text_col: str = "text",
-                        broadcast_max_grams: int = 20_000_000) -> DataFrame:
+                        broadcast_max_grams: int = 20_000_000,
+                        kernel: str = "arrow") -> DataFrame:
     """Evidence table: (doc id, bench id, shared_grams >= 1) for every
     document x benchmark-item pair sharing at least one n-gram — what a
     human audits before dropping data. Same broadcast geometry as
     `decontaminate`, keyed per benchmark item instead of deduped."""
-    grams = (
-        benchmark.select(
-            F.col(bench_id_col),
-            F.explode(F.array_distinct(ngram_tokens(bench_text_col, n))).alias("_g"),
-        )
-        .select(bench_id_col, F.xxhash64("_g").alias("bh"))
-        .distinct()
-    )
+    grams = _gram_hashes(benchmark, bench_id_col, bench_text_col, n, "bh",
+                         kernel=kernel).distinct()
     if grams.count() <= broadcast_max_grams:
         grams = F.broadcast(grams)
-    doc_grams = _gram_hashes(docs, id_col, text_col, n, "bh")
+    doc_grams = _gram_hashes(docs, id_col, text_col, n, "bh", kernel=kernel)
     return (
         doc_grams.join(grams, "bh")
         .groupBy(id_col, bench_id_col)

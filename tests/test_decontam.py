@@ -77,6 +77,20 @@ def test_broadcast_and_shuffle_paths_agree(corpus):
         or "BroadcastHashJoin" in bc._jdf.queryExecution().toString()
 
 
+def test_arrow_and_expr_kernels_agree(corpus):
+    """The Arrow rolling-hash kernel and the codegen gram-string twin make
+    identical decisions AND identical distinct-hit counts (their hash
+    spaces differ, but a set-membership decision per gram is kernel-
+    independent absent collisions)."""
+    docs, bench = corpus
+    a = sorted(map(tuple, decontaminate(docs, bench, n=5, kernel="arrow").collect()))
+    e = sorted(map(tuple, decontaminate(docs, bench, n=5, kernel="expr").collect()))
+    assert a == e
+    pa = sorted(map(tuple, contamination_pairs(docs, bench, n=5, kernel="arrow").collect()))
+    pe = sorted(map(tuple, contamination_pairs(docs, bench, n=5, kernel="expr").collect()))
+    assert pa == pe
+
+
 def test_contamination_pairs_evidence(corpus):
     docs, bench = corpus
     pairs = contamination_pairs(docs, bench, n=5).collect()
@@ -134,6 +148,48 @@ def test_split_weights_roughly_respected(spark):
         split_assign(docs, weights={})
     with pytest.raises(ValueError):
         split_assign(docs, weights={"a": -1.0, "b": 2.0})
+
+
+# --- kernel-level property: hash-set semantics == string-gram semantics ---
+# (pure pandas, no Spark job per example — the udf's wrapped function)
+
+import re as _re
+
+import pandas as _pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entitylinking_spark.operators.decontam import make_gram_hash_udf
+
+_WORD = st.text(alphabet="abc_0", min_size=1, max_size=3)
+_TEXT = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+_TOK = _re.compile(r"[a-z0-9_]+")
+
+
+def _ref_grams(text: str, n: int) -> set[str]:
+    toks = _TOK.findall(text.lower())
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+@given(st.lists(_TEXT, min_size=1, max_size=8), st.integers(1, 4))
+@settings(max_examples=150, deadline=None)
+def test_gram_hash_kernel_matches_string_reference(texts, n):
+    """For every row: |hash set| == |string-gram set| (per-row distinct,
+    <n-token rows empty), and every pairwise INTERSECTION size matches —
+    i.e. the hash space is a faithful, collision-free embedding of the
+    gram strings at this scale, which is exactly what the contamination
+    decision depends on."""
+    fn = make_gram_hash_udf(n).func
+    out = fn(_pd.Series(texts))
+    hash_sets = [set(a.tolist()) for a in out]
+    str_sets = [_ref_grams(t, n) for t in texts]
+    for hs, ss in zip(hash_sets, str_sets):
+        assert len(hs) == len(ss)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            assert len(hash_sets[i] & hash_sets[j]) == len(str_sets[i] & str_sets[j])
 
 
 def test_split_bucket_uniform(spark):
