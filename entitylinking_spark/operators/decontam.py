@@ -47,7 +47,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 
-from entitylinking_spark.functions.hashing import _TOKEN_RE, _shingle_hashes
+from entitylinking_spark.functions.hashing import row_gram_segments
 from entitylinking_spark.functions.relhash import md5_hash60
 from entitylinking_spark.operators.textstats import ngram_tokens
 
@@ -69,13 +69,9 @@ def make_gram_hash_udf(n: int):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def gram_hashes(text: pd.Series) -> pd.Series:
-        filled = text.fillna("")
-        toks = filled.str.lower().str.findall(_TOKEN_RE)
-        tok_lists = toks.tolist()
-        if not tok_lists:
+        if len(text) == 0:
             return pd.Series([], dtype=object)
-        base, offsets = _shingle_hashes(tok_lists, filled.tolist(), n)
-        bounds = np.append(offsets, base.size)
+        tok_lists, base, bounds = row_gram_segments(text, n)
         empty = np.empty(0, dtype=np.int64)
         out = [
             empty if len(tl) < n

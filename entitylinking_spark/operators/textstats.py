@@ -145,19 +145,70 @@ def ngram_tokens(col: str | Column, n: int = 2) -> Column:
     )
 
 
+def make_repetition_udf(n: int):
+    """Arrow kernel: text -> (n_grams, top_gram_count, n_distinct) per row.
+
+    Token strings siphashed once per batch, gram hashes a numeric rolling
+    combine (functions/hashing.row_gram_segments), per-row stats via one
+    np.unique per segment. Counts are exact modulo within-document 64-bit
+    gram-hash collisions (~300 grams/doc -> P ~ 1e-14 per doc)."""
+
+    @F.pandas_udf("n_grams long, top_gram_count long, n_distinct long")
+    def rep(text: pd.Series) -> pd.DataFrame:
+        from entitylinking_spark.functions.hashing import row_gram_segments
+
+        if len(text) == 0:
+            return pd.DataFrame(
+                {"n_grams": [], "top_gram_count": [], "n_distinct": []},
+                dtype="int64",
+            )
+        tok_lists, base, bounds = row_gram_segments(text, n)
+        ng = np.zeros(len(tok_lists), dtype=np.int64)
+        top = np.zeros(len(tok_lists), dtype=np.int64)
+        nd = np.zeros(len(tok_lists), dtype=np.int64)
+        for i, tl in enumerate(tok_lists):
+            if len(tl) < n:
+                continue
+            seg = base[bounds[i]:bounds[i + 1]]
+            _, counts = np.unique(seg, return_counts=True)
+            ng[i] = seg.size
+            top[i] = counts.max()
+            nd[i] = counts.size
+        return pd.DataFrame({"n_grams": ng, "top_gram_count": top,
+                             "n_distinct": nd})
+
+    return rep
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+                     id_col: str = "doc_id", n: int = 2,
+                     kernel: str = "arrow") -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021, Table A1, token-
     occurrence variant): per document, the fraction of n-gram occurrences
     inside the single most-frequent n-gram (`top_gram_frac`) and the
     fraction that are duplicates of an earlier occurrence
     (`dup_gram_frac`). High values mark boilerplate/templated text.
 
-    Plan: explode n-grams -> ONE (id, gram) groupBy (map-side combined, so
-    shuffle volume is bounded by the distinct-gram count per partition,
-    not the token count) -> per-doc agg. Documents with < n tokens get
-    zero fractions through the left join + coalesce.
+    kernel='arrow' (default, the scale path): every output is a per-row
+    statistic, so ONE Arrow pass computes all of them map-side — ZERO
+    shuffles at any corpus size. kernel='expr' keeps the relational twin
+    (explode -> map-side-combined (id, gram) groupBy -> per-doc agg ->
+    left join), whose gram-STRING formulation the DuckDB oracle
+    recomputes; both paths give documents with < n tokens zero fractions.
     """
+    if kernel == "arrow":
+        rep = make_repetition_udf(n)
+        r = F.col("_r")
+        return docs.select(F.col(id_col), rep(text_col).alias("_r")).select(
+            id_col,
+            r["n_grams"].alias("n_grams"),
+            r["top_gram_count"].alias("top_gram_count"),
+            F.when(r["n_grams"] > 0, r["top_gram_count"] / r["n_grams"])
+            .otherwise(0.0).alias("top_gram_frac"),
+            F.when(r["n_grams"] > 0,
+                   (r["n_grams"] - r["n_distinct"]) / r["n_grams"])
+            .otherwise(0.0).alias("dup_gram_frac"),
+        )
     grams = docs.select(
         F.col(id_col), F.explode(ngram_tokens(text_col, n)).alias("gram")
     )
@@ -177,12 +228,58 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     )
 
 
+def make_dup_line_udf():
+    """Arrow kernel: text -> (n_lines, n_distinct_lines, total_chars,
+    dup_chars) over non-blank lines (blank = empty after trimming SPACES,
+    the F.trim convention of the relational twin)."""
+
+    @F.pandas_udf("n_lines long, n_distinct long, total_chars long, "
+                  "dup_chars long")
+    def dl(text: pd.Series) -> pd.DataFrame:
+        nl = np.zeros(len(text), dtype=np.int64)
+        nd = np.zeros(len(text), dtype=np.int64)
+        tc = np.zeros(len(text), dtype=np.int64)
+        dc = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text.fillna("")):
+            lines = [ln for ln in t.split("\n") if ln.strip(" ") != ""]
+            if not lines:
+                continue
+            u, counts = np.unique(np.array(lines, dtype=object),
+                                  return_counts=True)
+            lens = np.fromiter((len(s) for s in u), dtype=np.int64,
+                               count=len(u))
+            nl[i] = len(lines)
+            nd[i] = len(u)
+            tc[i] = int((counts * lens).sum())
+            dc[i] = int(((counts - 1) * lens).sum())
+        return pd.DataFrame({"n_lines": nl, "n_distinct": nd,
+                             "total_chars": tc, "dup_chars": dc})
+
+    return dl
+
+
 def duplicate_line_stats(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         kernel: str = "arrow") -> DataFrame:
     """Duplicate-line fraction per document (Gopher Table A1): the share
     of non-empty lines that repeat an earlier line, plus the share of
-    line CHARACTERS inside repeated lines. Same one-shuffle plan as
-    repetition_stats."""
+    line CHARACTERS inside repeated lines.
+
+    kernel='arrow' (default): per-row statistics in ONE map-side Arrow
+    pass, zero shuffles (the repetition_stats argument). kernel='expr'
+    keeps the relational twin the DuckDB oracle recomputes."""
+    if kernel == "arrow":
+        dl = make_dup_line_udf()
+        r = F.col("_r")
+        return docs.select(F.col(id_col), dl(text_col).alias("_r")).select(
+            id_col,
+            r["n_lines"].alias("n_lines"),
+            F.when(r["n_lines"] > 0,
+                   (r["n_lines"] - r["n_distinct"]) / r["n_lines"])
+            .otherwise(0.0).alias("dup_line_frac"),
+            F.when(r["total_chars"] > 0, r["dup_chars"] / r["total_chars"])
+            .otherwise(0.0).alias("dup_line_char_frac"),
+        )
     lines = docs.select(
         F.col(id_col),
         F.explode(

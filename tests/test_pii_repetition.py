@@ -71,6 +71,33 @@ def test_repetition_known_answer(spark):
     assert got[2]["n_grams"] == 0 and got[2]["top_gram_frac"] == 0.0
 
 
+def test_repetition_kernels_agree(spark):
+    """The zero-shuffle Arrow kernel equals the relational twin row for
+    row, including <n-token docs, empty text and heavy repetition."""
+    rows = [(i, t) for i, t in enumerate([
+        "x y x y x y", "a b c d e f g", "solo", "", "q q q q q q q q",
+        "p1 p2 p1 p2 p1 p2 p1", "one two", "z",
+    ])]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    for n in (1, 2, 3):
+        a = sorted(map(tuple, repetition_stats(d, n=n, kernel="arrow").collect()))
+        e = sorted(map(tuple, repetition_stats(d, n=n, kernel="expr").collect()))
+        assert a == e, f"n={n}"
+
+
+def test_dup_line_kernels_agree(spark):
+    """Arrow and relational duplicate-line stats agree, including the
+    trim-SPACES-only blank-line convention (a tab-only line counts)."""
+    rows = [(i, t) for i, t in enumerate([
+        "aaaa\nbb\naaaa\n\n  \ncc", "one line only", "", "\t\nx\n\t",
+        "dup\ndup\ndup", "  padded  \n  padded  \nother",
+    ])]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, duplicate_line_stats(d, kernel="arrow").collect()))
+    e = sorted(map(tuple, duplicate_line_stats(d, kernel="expr").collect()))
+    assert a == e
+
+
 def test_duplicate_line_known_answer(spark):
     d = spark.createDataFrame(
         [(0, "aaaa\nbb\naaaa\n\n  \ncc"), (1, "one line only")],
