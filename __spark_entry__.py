@@ -871,6 +871,95 @@ FROM b ORDER BY doc_id
 """
 
 
+def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation plan (plans/curation.py): PII scrub ->
+    quality + lang annotation -> exact dedup (sha256 window) ->
+    benchmark decontamination -> deterministic split, one verdict row per
+    document. Every stage's arithmetic is the same double expression in
+    both engines (op order preserved), so even the unrounded
+    quality >= 0.25 keep-gate compares bit-identically."""
+    from entitylinking_spark.plans.curation import CurationConfig, curate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    cfg = CurationConfig(
+        min_quality=0.25, languages=("en",), scrub=True, decontam_n=5,
+        split_weights={"train": 0.75, "val": 0.125, "test": 0.125},
+        split_seed="v1",
+    )
+    out = curate(d, bench, cfg)
+    return out.select(
+        "doc_id", "lang", F.round("quality", 4).alias("quality_r"),
+        "is_duplicate", "contaminated", "split", "keep",
+    ).orderBy("doc_id")
+
+
+_SCRUB_SQL = """regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+         '\\+\\d{9,15}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g')"""
+
+CURATE_SQL = f"""
+WITH scrub AS (
+  SELECT doc_id, {_SCRUB_SQL} AS text FROM documents
+),
+q AS (
+  SELECT doc_id, text,
+         len({_TOKS_SQL}) AS ntok,
+         len(list_distinct({_TOKS_SQL})) AS ndis,
+         len(list_intersect(list_distinct({_TOKS_SQL}), [{_SW}])) AS hits,
+         length(text) AS nchar,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS npunct
+  FROM scrub
+),
+ann AS (
+  SELECT doc_id, text,
+         CASE WHEN ndis > 0
+                   AND CAST(hits AS DOUBLE) / CAST(ndis AS DOUBLE) >= 0.08
+              THEN 'en' ELSE 'other' END AS lang,
+         0.4 * least(CAST(ntok AS DOUBLE) / 200.0, 1.0)
+       + 0.3 * least((CASE WHEN ndis = 0 THEN 0.0
+                           ELSE CAST(hits AS DOUBLE) / CAST(ndis AS DOUBLE)
+                      END) / 0.3, 1.0)
+       + 0.3 * (1.0 - greatest((CASE WHEN nchar = 0 THEN 0.0
+                                     ELSE CAST(npunct AS DOUBLE)
+                                          / CAST(nchar AS DOUBLE) END)
+                               - 0.15, 0.0) / 0.85) AS quality,
+         doc_id <> MIN(doc_id) OVER (PARTITION BY sha256(text))
+           AS is_duplicate,
+         CAST({_H60_SQL.format(x="'v1:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+           / 1152921504606846976.0 AS bucket
+  FROM q
+),
+bt AS (
+  SELECT {_TOKS_SQL.replace('text', 'substr(text, 1, 200)')} AS t
+  FROM documents WHERE doc_id % 37 = 0
+),
+bg AS (SELECT DISTINCT unnest({_G5_SQL.format(t='t')}) AS gram FROM bt),
+dt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM scrub),
+dg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_G5_SQL.format(t='t')}) AS gram FROM dt
+  )
+),
+cont AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (gram))
+SELECT a.doc_id, a.lang, ROUND(a.quality, 4) AS quality_r,
+       a.is_duplicate,
+       (c.doc_id IS NOT NULL) AS contaminated,
+       CASE WHEN a.bucket < 0.75 THEN 'train'
+            WHEN a.bucket < 0.875 THEN 'val'
+            ELSE 'test' END AS split,
+       (a.lang = 'en' AND a.quality >= 0.25 AND NOT a.is_duplicate
+        AND c.doc_id IS NULL) AS keep
+FROM ann a LEFT JOIN cont c ON a.doc_id = c.doc_id
+ORDER BY a.doc_id
+"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline embedding near-dup pairs: integer-SRP bucketed cosine
     pairs >= 0.35 (4 planes). The bucket assignment is exact int64
@@ -2256,6 +2345,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "linking_channels": (linking_channels, LINKING_CHANNELS_SQL),
     "decontam_docs": (decontam_docs, DECONTAM_SQL),
     "split_docs": (split_docs, SPLIT_DOCS_SQL),
+    "curate_docs": (curate_docs, CURATE_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

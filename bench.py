@@ -170,6 +170,20 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("decontam", decontam_run)
 
+    # composed curation plan: scrub + quality + lang + exact-dup window +
+    # decontamination + split in one DAG (the training-data funnel)
+    def curate_run():
+        from entitylinking_spark.plans.curation import CurationConfig, curate
+
+        bench = docs.filter(F.col("doc_id") % 37 == 0).select(
+            F.col("doc_id").alias("bench_id"),
+            F.substring("text", 1, 200).alias("text"),
+        )
+        return curate(docs, bench, CurationConfig(decontam_n=5)) \
+            .filter("keep").count()
+
+    timed("curate", curate_run)
+
     # --- media decode throughput (round-4 verdict #5) ---------------------
     # per-format MB/s through the mapInPandas decode path; PNG uses the
     # all-Paeth worst case so the number is the reconstruction floor.

@@ -192,16 +192,12 @@ def split_bucket(id_col: str | Column, seed: str = "v1") -> Column:
     return md5_hash60(F.concat(F.lit(seed + ":"), c.cast("string"))) / F.lit(_HASH_SPACE)
 
 
-def split_assign(docs: DataFrame, id_col: str = "doc_id",
-                 weights: dict[str, float] | None = None,
-                 seed: str = "v1") -> DataFrame:
-    """Deterministic train/val/test assignment: (id_col, split).
-
-    Pure map-side expression — no shuffle, no sampling state, stable under
-    repartitioning and incremental appends (a doc keeps its split forever,
-    the property Bernoulli `df.sample` lacks). Weights are normalized;
-    iteration order of the dict fixes the cumulative band order.
-    """
+def split_expr(id_col: str | Column,
+               weights: dict[str, float] | None = None,
+               seed: str = "v1") -> Column:
+    """The split-band column expression behind `split_assign` — reusable
+    inline wherever a per-row split label is wanted without a join.
+    Weights are normalized; dict iteration order fixes the band order."""
     if weights is None:
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
     if not weights or any(w < 0 for w in weights.values()):
@@ -218,5 +214,17 @@ def split_assign(docs: DataFrame, id_col: str = "doc_id",
         branch = F.when(b < F.lit(acc), F.lit(name))
         expr = branch if expr is None else expr.when(b < F.lit(acc), F.lit(name))
     last = F.lit(names[-1])
-    split = last if expr is None else expr.otherwise(last)
-    return docs.select(F.col(id_col), split.alias("split"))
+    return last if expr is None else expr.otherwise(last)
+
+
+def split_assign(docs: DataFrame, id_col: str = "doc_id",
+                 weights: dict[str, float] | None = None,
+                 seed: str = "v1") -> DataFrame:
+    """Deterministic train/val/test assignment: (id_col, split).
+
+    Pure map-side expression — no shuffle, no sampling state, stable under
+    repartitioning and incremental appends (a doc keeps its split forever,
+    the property Bernoulli `df.sample` lacks).
+    """
+    return docs.select(F.col(id_col),
+                       split_expr(id_col, weights, seed).alias("split"))

@@ -1,0 +1,119 @@
+"""The composed training-data curation plan.
+
+One declarative pass stringing the engine's LLM-pipeline hygiene ops into
+the shape every pre-training corpus build runs (C4 / Gopher / Dolma /
+FineWeb): PII scrub -> quality + language annotation -> exact dedup ->
+benchmark decontamination -> deterministic split, with an auditable
+keep/drop verdict per document instead of silent row drops.
+
+Reference analogue: the reference's corpus preparation is a chain of
+per-file python scripts (/root/reference/OneNet/data_process.py:137-509
+filters, dedupes and splits its eval corpora); this is the corpus-scale
+relational restatement.
+
+Scale shape (the whole point of composing these in ONE plan):
+  - scrub / quality / lang / split are pure column expressions on the
+    same scan — a 100 TB corpus pays ONE codegen'd pass, not five.
+  - exact dedup is the plan's single corpus-wide shuffle (one min-id
+    window over sha256).
+  - decontamination joins the auto-broadcast benchmark gram set against
+    map-side Arrow gram hashes; the flag join back is tiny-side
+    (contaminated ids only, AQE broadcasts it).
+  - every stage ANNOTATES rather than filters, so the funnel is an
+    `agg` over boolean columns, not K recounts of the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from entitylinking_spark.operators.decontam import decontaminate, split_expr
+from entitylinking_spark.operators.pii import scrub_pii
+from entitylinking_spark.operators.textstats import detect_language, quality_score
+
+
+@dataclass
+class CurationConfig:
+    min_quality: float = 0.25
+    languages: tuple[str, ...] = ("en",)
+    scrub: bool = True
+    decontam_n: int = 13
+    decontam_kernel: str = "arrow"
+    broadcast_max_grams: int = 20_000_000
+    split_weights: dict[str, float] = field(
+        default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    split_seed: str = "v1"
+
+
+def curate(docs: DataFrame, benchmark: DataFrame | None = None,
+           config: CurationConfig | None = None,
+           id_col: str = "doc_id", text_col: str = "text",
+           bench_text_col: str = "text", metrics=None) -> DataFrame:
+    """Annotate every document with the curation verdict.
+
+    Returns one row per input doc:
+      (id_col, text [scrubbed], lang, quality, is_duplicate,
+       contaminated, split, keep)
+    where keep = lang accepted AND quality >= min_quality AND NOT
+    is_duplicate AND NOT contaminated. Everything downstream of the scrub
+    (quality, lang, dedup, decontamination) is computed on the SCRUBBED
+    text — the text that would ship. Training rows are
+    `curate(...).filter("keep")`; the dropped remainder keeps its reasons
+    for audit. With benchmark=None the contamination stage is skipped
+    (contaminated = false, no benchmark jobs run).
+    """
+    cfg = config or CurationConfig()
+    text = scrub_pii(text_col) if cfg.scrub else F.col(text_col)
+    base = docs.select(
+        F.col(id_col),
+        text.alias("text"),
+        detect_language(text).alias("lang"),
+        quality_score(text).alias("quality"),
+        split_expr(id_col, cfg.split_weights, cfg.split_seed).alias("split"),
+    )
+
+    # dup flag via a window rather than dedup_exact's groupBy+rep-join:
+    # same one corpus-wide shuffle, but single-branch, so the scrubbed
+    # base is not recomputed on both sides of a self-join
+    w = Window.partitionBy(F.sha2(F.col("text").cast("string"), 256))
+    out = base.withColumn(
+        "is_duplicate", F.col(id_col) != F.min(id_col).over(w)
+    )
+
+    if benchmark is not None:
+        flags = decontaminate(
+            base, benchmark, n=cfg.decontam_n, id_col=id_col,
+            text_col="text", bench_text_col=bench_text_col,
+            broadcast_max_grams=cfg.broadcast_max_grams,
+            kernel=cfg.decontam_kernel, metrics=metrics,
+        ).select(id_col, "contaminated")
+        out = out.join(flags, id_col)
+    else:
+        out = out.withColumn("contaminated", F.lit(False))
+
+    out = out.select(
+        id_col, "text", "lang", "quality", "is_duplicate", "contaminated",
+        "split",
+        (
+            F.col("lang").isin(*cfg.languages)
+            & (F.col("quality") >= F.lit(cfg.min_quality))
+            & ~F.col("is_duplicate")
+            & ~F.col("contaminated")
+        ).alias("keep"),
+    )
+
+    if metrics is not None:
+        funnel = out.agg(
+            F.count("*").alias("docs"),
+            F.sum((~F.col("lang").isin(*cfg.languages)).cast("long")).alias("lang_rejected"),
+            F.sum((F.col("quality") < cfg.min_quality).cast("long")).alias("low_quality"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("duplicates"),
+            F.sum(F.col("contaminated").cast("long")).alias("contaminated"),
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+        ).first()
+        metrics.record("curation_funnel", **funnel.asDict())
+
+    return out
