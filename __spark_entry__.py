@@ -960,6 +960,136 @@ ORDER BY a.doc_id
 """
 
 
+def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-assembly temperature mixing (mixing.domain_mix_weights,
+    alpha=0.3): per-source sampling weights w_d = n_d^a / sum n^a and the
+    oversample factor vs natural share. Both engines evaluate the same
+    pow/sum doubles; outputs rounded to 6."""
+    from entitylinking_spark.operators.mixing import domain_mix_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = domain_mix_weights(d, domain_col="source", alpha=0.3)
+    return out.select(
+        "domain", "n_docs", "size",
+        F.round("weight", 6).alias("weight_r"),
+        F.round("oversample", 6).alias("oversample_r"),
+    ).orderBy("domain")
+
+
+MIX_WEIGHTS_SQL = """
+WITH d AS (
+  SELECT source AS domain, count(*) AS n_docs,
+         CAST(count(*) AS DOUBLE) AS size
+  FROM documents GROUP BY 1
+),
+t AS (SELECT sum(pow(size, 0.3)) AS tp, sum(size) AS ts FROM d)
+SELECT domain, n_docs, size,
+       ROUND(pow(size, 0.3) / tp, 6) AS weight_r,
+       ROUND((pow(size, 0.3) / tp) / (size / ts), 6) AS oversample_r
+FROM d, t ORDER BY domain
+"""
+
+
+def sample_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (mixing.stratified_sample): keep
+    iff the seeded 60-bit md5 band falls under the stratum's rate — the
+    same exact-double band construction split_docs proves, per-stratum.
+    Map-side only; zero shuffle; stable under appends."""
+    from entitylinking_spark.operators.mixing import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        d, strata_col="lang",
+        fractions={"en": 1.0, "de": 0.5, "zh": 0.25},
+        default_fraction=0.1, seed="s1",
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+SAMPLE_STRATA_SQL = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE CAST({_H60_SQL.format(x="'s1:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+        / 1152921504606846976.0
+      < CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5
+                  WHEN 'zh' THEN 0.25 ELSE 0.1 END
+ORDER BY doc_id
+"""
+
+
+def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing (mixing.pack_sequences): every doc's
+    (shard, window index, start offset, straddle flag) in 4 sharded
+    128-token streams. All-integer arithmetic (60-bit md5 order hash,
+    long cumsum window, integer div) — bit-exact across engines."""
+    from entitylinking_spark.operators.mixing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, budget=128, n_shards=4, seed="p1").orderBy("doc_id")
+
+
+PACK_DOCS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_H60_SQL.format(x="'p1:' || CAST(doc_id AS VARCHAR)")} AS h,
+         len({_TOKS_SQL}) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, CAST(h % 4 AS INT) AS shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY h % 4 ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM s
+)
+SELECT doc_id, shard,
+       off // 128 AS pack_id,
+       off % 128 AS pack_pos,
+       n_tokens,
+       (n_tokens > 0 AND
+        (off + greatest(n_tokens, 1) - 1) // 128 <> off // 128) AS straddles
+FROM o ORDER BY doc_id
+"""
+
+
+def dup_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document duplication audit (mixing.duplicated_ngram_stats,
+    n=5, min_docs=2): per doc, the share of its distinct 5-grams appearing
+    in >= 2 docs. Spark counts gram xxhash64 values; DuckDB counts the
+    gram STRINGS — identical absent a 64-bit collision (none at sf0.01)."""
+    from entitylinking_spark.operators.mixing import duplicated_ngram_stats
+
+    d = _t(spark, sf_dir, "documents")
+    out = duplicated_ngram_stats(d, n=5, min_docs=2)
+    return out.select(
+        "doc_id", "n_grams", "n_dup_grams",
+        F.round("dup_fraction", 6).alias("dup_fraction_r"),
+    ).orderBy("doc_id")
+
+
+DUP_NGRAM_SQL = f"""
+WITH dt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest({_G5_SQL.format(t='t')}) AS gram FROM dt
+  )
+),
+freq AS (SELECT gram FROM dg GROUP BY gram HAVING count(*) >= 2),
+per AS (
+  SELECT dg.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+  FROM dg LEFT JOIN freq f ON dg.gram = f.gram GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_dup, 0) AS n_dup_grams,
+       ROUND(CASE WHEN COALESCE(p.n_grams, 0) = 0 THEN 0.0
+                  ELSE CAST(p.n_dup AS DOUBLE) / p.n_grams END, 6)
+         AS dup_fraction_r
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline embedding near-dup pairs: integer-SRP bucketed cosine
     pairs >= 0.35 (4 planes). The bucket assignment is exact int64
@@ -2346,6 +2476,10 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "decontam_docs": (decontam_docs, DECONTAM_SQL),
     "split_docs": (split_docs, SPLIT_DOCS_SQL),
     "curate_docs": (curate_docs, CURATE_SQL),
+    "mix_weights": (mix_weights, MIX_WEIGHTS_SQL),
+    "sample_strata": (sample_strata, SAMPLE_STRATA_SQL),
+    "pack_docs": (pack_docs, PACK_DOCS_SQL),
+    "dup_ngram_audit": (dup_ngram_audit, DUP_NGRAM_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

@@ -1,0 +1,237 @@
+"""Dataset assembly: mixing weights, stratified sampling, sequence packing,
+and exact cross-document n-gram duplication measurement.
+
+The last mile of a training-data pipeline, after hygiene (curation.py)
+has produced the keep set: decide HOW MUCH of each domain to sample,
+draw the sample deterministically, pack documents into fixed token
+windows, and measure residual cross-document repetition that sketch
+dedup (MinHash) may have left behind.
+
+Reference analogue: the reference assembles its evaluation corpora by
+per-source subsetting and key-stable splits
+(/root/reference/OneNet/data_process.py:137-509 builds per-corpus
+subsets and fixed-size samples); these operators are the corpus-scale
+relational restatement with published semantics (temperature-scaled
+mixing from multilingual LM training, concat-and-chunk packing from
+GPT-style pre-training, duplicated-gram fraction from Gopher/RefinedWeb
+repetition analysis).
+
+Scale design (the 100 TB contract of every operator here):
+  * domain_mix_weights — one map-side-combined groupBy to a dims-sized
+    frame; the normalization window runs over that tiny frame, never the
+    corpus.
+  * stratified_sample — pure map-side expression (seeded 60-bit hash
+    band per stratum), zero shuffle, stable under repartitioning and
+    incremental appends: a doc keeps its verdict forever, the property
+    Bernoulli df.sample lacks. The strata->fraction map is a broadcast
+    literal CASE, never a join.
+  * pack_sequences — the global concat order is sharded: docs hash into
+    n_shards independent streams and the running-offset window is
+    PARTITIONED by shard, so no single-reducer global window exists at
+    any corpus size; one shuffle total (the window's), bounded per task
+    by corpus/n_shards.
+  * duplicated_ngram_stats — grams travel as int64 hashes (8 B/gram,
+    same discipline as decontam.py); the gram-frequency groupBy is
+    map-side combined; only grams that clear min_docs re-enter the join,
+    so the flag-back join's build side is the duplicated tail, not the
+    gram universe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from entitylinking_spark.functions.relhash import md5_hash60
+from entitylinking_spark.operators.textstats import ngram_tokens, tokenize
+
+# 2^60: md5_hash60's value space, as double for rate bands
+_HASH_SPACE = float(1 << 60)
+
+
+def domain_mix_weights(docs: DataFrame, domain_col: str = "source",
+                       alpha: float = 0.3,
+                       size_col: str | None = None) -> DataFrame:
+    """Temperature-scaled sampling weights per domain.
+
+    w_d = n_d^alpha / sum_e n_e^alpha — the multilingual-LM mixing rule
+    (alpha=1 keeps natural proportions, alpha=0 is uniform, alpha~0.3
+    upsamples small domains). `size_col=None` sizes domains by document
+    count; pass a column (e.g. a token count) to size by mass. Returns
+    (domain, n_docs, size, weight, oversample) where oversample is the
+    weight relative to the domain's natural share — the per-domain
+    repeat/sample factor a loader applies.
+
+    One corpus pass (map-side combined groupBy to a domains-sized frame);
+    the normalizing sum is a window over that frame only.
+    """
+    size = F.count("*") if size_col is None else F.sum(size_col)
+    dims = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count("*").alias("n_docs"), size.cast("double").alias("size")
+    )
+    w = Window.partitionBy()  # dims-sized frame: one partition is the point
+    powed = F.pow(F.col("size"), F.lit(float(alpha)))
+    total_pow = F.sum(powed).over(w)
+    total_size = F.sum("size").over(w)
+    return dims.select(
+        "domain",
+        "n_docs",
+        "size",
+        (powed / total_pow).alias("weight"),
+        ((powed / total_pow) / (F.col("size") / total_size)).alias("oversample"),
+    )
+
+
+def sample_hash(id_col: str | Column, seed: str = "s1") -> Column:
+    """Uniform-in-[0,1) deterministic draw per id (md5_hash60 band).
+
+    The same stable-under-everything property as decontam.split_bucket,
+    under a different seed namespace so sampling and splitting are
+    independent draws.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_hash60(
+        F.concat(F.lit(seed + ":"), c.cast("string"))
+    ) / F.lit(_HASH_SPACE)
+
+
+def stratified_sample(docs: DataFrame, strata_col: str = "source",
+                      fractions: dict[str, float] | float = 1.0,
+                      id_col: str = "doc_id", seed: str = "s1",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample.
+
+    A doc is kept iff its seeded hash band falls below its stratum's
+    fraction — map-side only, no shuffle, no sampling state; re-running
+    on a grown corpus keeps exactly the old verdicts for old rows (the
+    incremental-append property df.sample cannot give). `fractions` is
+    either one global rate or {stratum: rate}; strata absent from the
+    dict get `default_fraction`. Rates are clamped to [0, 1].
+    """
+    band = sample_hash(id_col, seed)
+    if isinstance(fractions, dict):
+        rate = None
+        for name, frac in fractions.items():
+            f = F.lit(min(max(float(frac), 0.0), 1.0))
+            cond = F.col(strata_col) == name
+            rate = F.when(cond, f) if rate is None else rate.when(cond, f)
+        rate = (
+            F.lit(float(default_fraction)) if rate is None
+            else rate.otherwise(F.lit(min(max(float(default_fraction), 0.0), 1.0)))
+        )
+    else:
+        rate = F.lit(min(max(float(fractions), 0.0), 1.0))
+    return docs.where(band < rate)
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 64,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   token_count_col: str | None = None,
+                   seed: str = "p1") -> DataFrame:
+    """Concat-and-chunk packing: assign every document a position in a
+    fixed-size token window stream (GPT-style pre-training packing).
+
+    Documents are deterministically ordered (seeded hash, id tie-break)
+    within `n_shards` independent shards; each shard is one concatenated
+    token stream cut into `budget`-token windows. Returns one row per doc:
+
+      (id_col, shard, pack_id, pack_pos, n_tokens, straddles)
+
+    where pack_id is the window index WITHIN the shard, pack_pos the
+    doc's start offset inside that window, and straddles marks docs that
+    cross a window boundary (the loader's truncate/continue decision).
+
+    Scale: the running-offset window is partitioned by shard — there is
+    never a global single-reducer sort. Choose n_shards ~ the cluster's
+    task parallelism; each task scans corpus/n_shards rows. One shuffle.
+    `token_count_col=None` counts tokens with the shared tokenizer
+    (textstats.tokenize) map-side before the shuffle, so only
+    (id, shard, hash, n_tokens) ever shuffles — never the text.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be a positive token count")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    ntok = (
+        F.col(token_count_col).cast("long") if token_count_col
+        else F.size(tokenize(text_col)).cast("long")
+    )
+    h = md5_hash60(
+        F.concat(F.lit(seed + ":"),
+                 (F.col(id_col) if isinstance(id_col, str) else id_col)
+                 .cast("string"))
+    )
+    slim = docs.select(
+        F.col(id_col),
+        h.alias("_h"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        ntok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    b = int(budget)
+    # integer `div`, not floor(double /): token offsets exceed 2^53 long
+    # before a 100 TB shard stream ends a year, but never overflow a long
+    staged = slim.select(id_col, "shard", "n_tokens", offset.alias("_off"))
+    start_pack = F.expr(f"_off div {b}")
+    end_pack = F.expr(f"(_off + greatest(n_tokens, 1L) - 1L) div {b}")
+    return staged.select(
+        id_col,
+        "shard",
+        start_pack.alias("pack_id"),
+        F.pmod(F.col("_off"), F.lit(b)).cast("long").alias("pack_pos"),
+        "n_tokens",
+        ((F.col("n_tokens") > 0) & (end_pack != start_pack)).alias("straddles"),
+    )
+
+
+def duplicated_ngram_stats(docs: DataFrame, n: int = 8, min_docs: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Exact cross-document duplication: per doc, the fraction of its
+    DISTINCT token n-grams that appear in >= min_docs documents
+    (RefinedWeb-style residual-duplication audit — the exact complement
+    to MinHash candidate dedup, run on the kept corpus to measure what
+    sketching missed).
+
+    Returns (id_col, n_grams, n_dup_grams, dup_fraction); docs shorter
+    than n tokens report 0 grams and fraction 0.0.
+
+    Plan shape: grams shuffle as int64 xxhash64 values (8 B each, the
+    decontam discipline); gram doc-frequency is a map-side-combined
+    count over (gram, doc) distinct pairs; only grams clearing min_docs
+    join back, so the second join's small side is the duplicated tail.
+    A 2^-64-per-probe hash collision is the accepted trade at corpus
+    scale; the DuckDB oracle joins gram STRINGS and agrees exactly at
+    test scale (same argument as decontam.py).
+    """
+    if n < 1 or min_docs < 1:
+        raise ValueError("n and min_docs must be >= 1")
+    grams = docs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.array_distinct(ngram_tokens(text_col, n))
+        ).alias("gram"),
+    ).select(id_col, F.xxhash64("gram").alias("gh"),
+             F.col("gram").isNotNull().alias("_has"))
+    # explode_outer keeps gram-less docs as one null row so every input
+    # doc appears in the output with n_grams = 0
+    df = grams.filter("_has").groupBy("gh").agg(
+        F.count("*").alias("df")
+    ).filter(F.col("df") >= min_docs).select("gh", F.lit(True).alias("_dup"))
+    flagged = grams.join(df, "gh", "left")
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.col("_has").cast("long")).alias("n_grams"),
+        F.sum((F.col("_dup").isNotNull() & F.col("_has")).cast("long"))
+        .alias("n_dup_grams"),
+    ).select(
+        id_col,
+        "n_grams",
+        "n_dup_grams",
+        F.when(F.col("n_grams") > 0,
+               F.col("n_dup_grams") / F.col("n_grams"))
+        .otherwise(F.lit(0.0)).alias("dup_fraction"),
+    )

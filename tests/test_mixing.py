@@ -1,0 +1,188 @@
+"""Dataset assembly operators (operators/mixing.py).
+
+Corpus-scale restatement of the reference's per-source subsetting and
+fixed-size sampling (/root/reference/OneNet/data_process.py:137-509),
+plus published mixing/packing semantics.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitylinking_spark.operators.mixing import (
+    domain_mix_weights,
+    duplicated_ngram_stats,
+    pack_sequences,
+    sample_hash,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(120):
+        dom = "big" if i < 90 else ("mid" if i < 110 else "tiny")
+        text = " ".join(f"tok{i}a{j}" for j in range(5 + i % 7))
+        rows.append((i, dom, text))
+    return spark.createDataFrame(rows, ["doc_id", "source", "text"]).persist()
+
+
+# --- domain_mix_weights ----------------------------------------------------
+
+
+def test_mix_weights_match_closed_form(corpus):
+    out = {r["domain"]: r for r in domain_mix_weights(corpus, alpha=0.3).collect()}
+    sizes = {"big": 90.0, "mid": 20.0, "tiny": 10.0}
+    tot = sum(v**0.3 for v in sizes.values())
+    for dom, n in sizes.items():
+        assert out[dom]["n_docs"] == int(n)
+        assert out[dom]["size"] == n
+        assert out[dom]["weight"] == pytest.approx(n**0.3 / tot)
+        assert out[dom]["oversample"] == pytest.approx(
+            (n**0.3 / tot) / (n / 120.0)
+        )
+    assert sum(r["weight"] for r in out.values()) == pytest.approx(1.0)
+
+
+def test_mix_weights_alpha_extremes(corpus):
+    uniform = {r["domain"]: r["weight"]
+               for r in domain_mix_weights(corpus, alpha=0.0).collect()}
+    assert all(w == pytest.approx(1 / 3) for w in uniform.values())
+    natural = {r["domain"]: r["weight"]
+               for r in domain_mix_weights(corpus, alpha=1.0).collect()}
+    assert natural["big"] == pytest.approx(90 / 120)
+
+
+def test_mix_weights_by_token_mass(corpus):
+    sized = corpus.withColumn("ntok", F.size(F.split("text", " ")))
+    out = domain_mix_weights(sized, alpha=1.0, size_col="ntok").collect()
+    tot = sum(r["size"] for r in out)
+    for r in out:
+        assert r["weight"] == pytest.approx(r["size"] / tot)
+
+
+# --- stratified_sample -----------------------------------------------------
+
+
+def test_sample_deterministic_and_stratified(corpus):
+    fr = {"big": 0.5, "mid": 1.0}  # tiny -> default 0.0
+    a = sorted(r["doc_id"] for r in stratified_sample(corpus, fractions=fr).collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(corpus, fractions=fr).collect())
+    assert a == b
+    got = stratified_sample(corpus, fractions=fr).groupBy("source").count()
+    counts = {r["source"]: r["count"] for r in got.collect()}
+    assert counts["mid"] == 20  # rate 1.0 keeps everything
+    assert "tiny" not in counts  # default_fraction=0.0 drops the stratum
+    assert 25 <= counts["big"] <= 65  # rate 0.5 of 90, generous binomial band
+
+
+def test_sample_stable_under_append(corpus, spark):
+    """Old rows keep their verdict when the corpus grows — the property
+    Bernoulli df.sample lacks."""
+    small = corpus.filter("doc_id < 60")
+    kept_small = {r["doc_id"] for r in
+                  stratified_sample(small, fractions=0.4).collect()}
+    kept_full = {r["doc_id"] for r in
+                 stratified_sample(corpus, fractions=0.4).collect()}
+    assert kept_small == {i for i in kept_full if i < 60}
+
+
+def test_sample_matches_hash_band(corpus):
+    kept = {r["doc_id"] for r in
+            stratified_sample(corpus, fractions=0.3, seed="zz").collect()}
+    bands = corpus.select("doc_id", sample_hash("doc_id", "zz").alias("b")).collect()
+    assert kept == {r["doc_id"] for r in bands if r["b"] < 0.3}
+
+
+# --- pack_sequences --------------------------------------------------------
+
+
+def test_packing_reconstructs_streams(corpus):
+    out = pack_sequences(corpus, budget=32, n_shards=4).collect()
+    assert len(out) == 120
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for rows in by_shard.values():
+        # within a shard, (pack_id, pack_pos) reconstruct the running
+        # offset: sorting by it must consume tokens contiguously
+        rows.sort(key=lambda r: (r["pack_id"], r["pack_pos"]))
+        offset = 0
+        for r in rows:
+            assert r["pack_id"] == offset // 32
+            assert r["pack_pos"] == offset % 32
+            end = offset + max(r["n_tokens"], 1) - 1
+            assert r["straddles"] == (r["n_tokens"] > 0 and end // 32 != offset // 32)
+            offset += r["n_tokens"]
+
+
+def test_packing_deterministic_and_shard_count_safe(corpus):
+    a = sorted(map(tuple, pack_sequences(corpus, budget=16, n_shards=8).collect()))
+    b = sorted(map(tuple, pack_sequences(corpus, budget=16, n_shards=8).collect()))
+    assert a == b
+    one = pack_sequences(corpus, budget=16, n_shards=1).collect()
+    assert {r["shard"] for r in one} == {0}
+    total_tokens = sum(r["n_tokens"] for r in one)
+    last = max(one, key=lambda r: (r["pack_id"], r["pack_pos"]))
+    assert last["pack_id"] == (total_tokens - last["n_tokens"]) // 16
+
+
+def test_packing_token_count_col_and_validation(corpus, spark):
+    sized = corpus.withColumn("ntok", F.size(F.split("text", " ")))
+    out = pack_sequences(sized, budget=32, n_shards=4,
+                         token_count_col="ntok").collect()
+    expect = pack_sequences(corpus, budget=32, n_shards=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, expect))
+    with pytest.raises(ValueError):
+        pack_sequences(corpus, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(corpus, budget=8, n_shards=0)
+
+
+# --- duplicated_ngram_stats ------------------------------------------------
+
+
+def test_duplicated_grams_planted(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 toks -> 4 trigrams
+    rows = [
+        (0, shared + " uniq0a uniq0b"),
+        (1, shared + " uniq1a uniq1b"),
+        (2, "nothing shared here at all today friend"),
+        (3, "xy"),  # 1 token -> 0 trigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           duplicated_ngram_stats(docs, n=3, min_docs=2).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # docs 0/1: 8 tokens -> 6 trigrams each, 4 shared
+    for d in (0, 1):
+        assert out[d]["n_grams"] == 6
+        assert out[d]["n_dup_grams"] == 4
+        assert out[d]["dup_fraction"] == pytest.approx(4 / 6)
+    assert out[2]["n_dup_grams"] == 0 and out[2]["dup_fraction"] == 0.0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_duplicated_grams_distinct_within_doc(spark):
+    """A gram repeated WITHIN one doc does not count as cross-doc dup."""
+    docs = spark.createDataFrame(
+        [(0, "a b c a b c a b c"), (1, "totally different words here now")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           duplicated_ngram_stats(docs, n=3, min_docs=2).collect()}
+    assert out[0]["n_dup_grams"] == 0
+    with pytest.raises(ValueError):
+        duplicated_ngram_stats(docs, n=0)
+
+
+def test_mix_pipeline_composes(corpus):
+    """weights -> sample -> pack as one lazy plan (no action in between)."""
+    sampled = stratified_sample(corpus, fractions={"big": 0.5, "mid": 1.0,
+                                                   "tiny": 1.0})
+    packed = pack_sequences(sampled, budget=64, n_shards=2)
+    n = packed.count()
+    assert n == sampled.count() and n < 120
