@@ -92,6 +92,95 @@ def make_png(img: np.ndarray, filter_type: int = 1) -> bytes:
     )
 
 
+def _lzw_encode_gif(indices: bytes, min_code_size: int) -> bytes:
+    """Spec-built GIF LZW encoder (bench/fixture side; the decoder under
+    test lives in operators/multimodal.py and tests keep a third copy)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, code_size = eoi + 1, min_code_size + 1
+    bits = nbits = 0
+    out = bytearray()
+
+    def emit(code: int, size: int) -> None:
+        nonlocal bits, nbits
+        bits |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+
+    emit(clear, code_size)
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], code_size)
+        if next_code < 4096:
+            table[nxt] = next_code
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+        else:
+            emit(clear, code_size)
+            table = {bytes([j]): j for j in range(clear)}
+            next_code, code_size = eoi + 1, min_code_size + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        out.append(bits & 0xFF)
+    return bytes(out)
+
+
+def make_gif_gray(img: np.ndarray) -> bytes:
+    """GIF89a of an (h, w) uint8 grayscale image over a 256-gray palette."""
+    h, w = img.shape
+    gct = bytes(v for g in range(256) for v in (g, g, g))
+    head = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x80 | 7, 0, 0]) + gct
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    lzw = _lzw_encode_gif(img.astype(np.uint8).tobytes(), 8)
+    blocks = bytearray([8])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return head + desc + bytes(blocks) + b"\x3b"
+
+
+def _ulaw_compress(samples_i16: np.ndarray) -> np.ndarray:
+    """Linear 16-bit -> G.711 mu-law bytes: nearest-expansion quantizer
+    against the decoder's value table (a valid encoder by construction —
+    decode(encode(x)) is the closest representable level to x)."""
+    from entitylinking_spark.operators.multimodal import _g711_ulaw_expand
+
+    levels = _g711_ulaw_expand(np.arange(256, dtype=np.uint8))
+    order = np.argsort(levels)
+    sorted_levels = levels[order]
+    pos = np.searchsorted(sorted_levels, samples_i16.astype(np.int64))
+    pos = np.clip(pos, 1, 255)
+    lo, hi = sorted_levels[pos - 1], sorted_levels[pos]
+    pick = np.where(np.abs(samples_i16 - lo) <= np.abs(hi - samples_i16),
+                    pos - 1, pos)
+    return order[pick].astype(np.uint8)
+
+
+def make_wav_ulaw(samples_i16: np.ndarray, rate: int = 8000,
+                  channels: int = 1) -> bytes:
+    """RIFF/WAVE with G.711 mu-law payload (format tag 7)."""
+    data = _ulaw_compress(samples_i16).tobytes()
+    fmt = struct.pack("<HHIIHH", 7, channels, rate, rate * channels,
+                      channels, 8)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def make_wav(samples_i16: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
     data = samples_i16.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
@@ -147,6 +236,7 @@ def bench_payloads(img_hw: tuple[int, int] = (256, 256),
     """One deterministic payload per format, keyed by format name."""
     rng = np.random.RandomState(seed)
     img = rng.randint(0, 256, (*img_hw, 3), dtype=np.uint8)
+    pcm = rng.randint(-30000, 30000, wav_samples).astype(np.int16)
     return {
         "ppm": make_ppm(img),
         "bmp": make_bmp(img),
@@ -154,7 +244,9 @@ def bench_payloads(img_hw: tuple[int, int] = (256, 256),
         # so the recorded PNG MB/s is the floor, not the None/Up fast path
         "png": make_png(img, filter_type=4),
         "jpeg": base64.b64decode(BENCH_JPEG_B64),
-        "wav": make_wav(
-            rng.randint(-30000, 30000, wav_samples).astype(np.int16)
-        ),
+        # random indices = LZW's worst case (no runs, table churn): the
+        # recorded GIF MB/s is the per-code Python loop's floor
+        "gif": make_gif_gray(img.mean(axis=2).astype(np.uint8)),
+        "wav": make_wav(pcm),
+        "wav_ulaw": make_wav_ulaw(pcm),
     }

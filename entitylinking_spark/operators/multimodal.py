@@ -4,12 +4,14 @@ Images/audio/video are opaque `binary` columns with a typed metadata
 struct (schemas.MEDIA). The Spark-side plumbing — schema, partitioning,
 Arrow batch shape, UDF signature — is real and tested.
 
-Decoding: netpbm P5/P6 images, uncompressed 24-bit BMP, RIFF/WAVE PCM
-audio and (round 4) 8-bit non-interlaced PNG are decoded for real with
+Decoding: netpbm P5/P6 images, uncompressed 24-bit BMP, RIFF/WAVE PCM +
+G.711 mu-law/A-law audio, 8-bit non-interlaced PNG (round 4) and GIF
+with full LZW decompression (round 5) are decoded for real with
 stdlib+numpy only — zlib ships with CPython, so PNG needs no external
-library (decode_ppm / decode_bmp / decode_png / decode_wav below, format
-sniffed from magic bytes). Formats that genuinely need external decoders
-(JPEG/MP3/H.264) raise NotImplementedError at the decode site;
+library (decode_ppm / decode_bmp / decode_png / decode_gif / decode_wav
+below, format sniffed from magic bytes; baseline JPEG lives in
+functions/jpeg.py). Formats that genuinely need external decoders
+(MP3/H.264) raise NotImplementedError at the decode site;
 `use_stub_decoder=True` opts into the deterministic md5-grid fake for
 pipelines that only exercise the plumbing (it remains the DuckDB-checkable
 path in the driver contract).
@@ -220,10 +222,165 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, 0] if img.shape[2] == 1 else img
 
 
-def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM -> ((n_frames, n_channels) float64 in [-1, 1], rate).
+def _lzw_decode(data: bytes, min_code_size: int, expected: int) -> np.ndarray:
+    """GIF-variant LZW (LSB-first variable-width codes, CLEAR/EOI,
+    12-bit cap with deferred-clear tolerance) -> uint8 index array.
 
-    8-bit unsigned and 16-bit signed little-endian PCM."""
+    Per-code Python loop — the same documented throughput ceiling as the
+    PNG Paeth filter and the JPEG bit reader (tools/bench_media.py
+    records the MB/s)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    strings = list(base)
+    code_size = min_code_size + 1
+    prev: int | None = None
+    out = bytearray()
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < expected:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            strings = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(strings):
+                raise ValueError("LZW stream starts with an undefined code")
+            entry = strings[code]
+        elif code < len(strings):
+            entry = strings[code]
+            if len(strings) < 4096:
+                strings.append(strings[prev] + entry[:1])
+        elif code == len(strings):
+            entry = strings[prev] + strings[prev][:1]
+            if len(strings) < 4096:
+                strings.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table size {len(strings)}")
+        out += entry
+        prev = code
+        # width grows when the NEXT code would not fit (deferred at 12 bits)
+        if len(strings) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if len(out) < expected:
+        raise ValueError(
+            f"LZW stream ended early: {len(out)} of {expected} pixels"
+        )
+    return np.frombuffer(bytes(out[:expected]), dtype=np.uint8)
+
+
+# GIF interlace passes: (row offset, row step) in paint order
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a first frame -> (h, w, 3) uint8 RGB, pure stdlib+numpy.
+
+    Full LZW decompression (_lzw_decode), global/local color tables,
+    interlacing, sub-frame placement on the logical screen (canvas
+    initialized to the background color). Extension blocks are skipped;
+    animation means "first image descriptor wins". The first COMPRESSED
+    image codec in the no-external-libs decoder set (PNG's deflate comes
+    from stdlib zlib; this LZW is implemented here)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack_from("<HH", data, 6)
+    packed, bg_index = data[10], data[11]
+    pos = 13
+    gct = None
+    if packed >> 7:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+            ipacked = data[pos + 9]
+            pos += 10
+            lct = None
+            if ipacked >> 7:
+                n = 2 << (ipacked & 7)
+                lct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            min_code_size = data[pos]
+            pos += 1
+            chunks = []
+            while pos < len(data) and data[pos] != 0:
+                n = data[pos]
+                chunks.append(data[pos + 1:pos + 1 + n])
+                pos += 1 + n
+            pos += 1
+            table = lct if lct is not None else gct
+            if table is None:
+                raise ValueError("GIF image without a color table")
+            idx = _lzw_decode(b"".join(chunks), min_code_size, iw * ih)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF pixel index beyond color table")
+            frame = idx.reshape(ih, iw)
+            if (ipacked >> 6) & 1:  # interlaced: reorder painted rows
+                ordered = np.empty_like(frame)
+                src = 0
+                for off, step in _GIF_INTERLACE:
+                    rows = range(off, ih, step)
+                    ordered[list(rows)] = frame[src:src + len(rows)]
+                    src += len(rows)
+                frame = ordered
+            canvas_idx = np.full(
+                (h, w), min(bg_index, len(table) - 1), dtype=np.uint8
+            )
+            canvas_idx[iy:iy + ih, ix:ix + iw] = frame
+            return table[canvas_idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block id {block:#x}")
+    raise ValueError("no image data in GIF")
+
+
+def _g711_ulaw_expand(u8: np.ndarray) -> np.ndarray:
+    """G.711 mu-law byte -> 16-bit PCM (vectorized; BIAS=0x84 spec form)."""
+    u = (~u8.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    exponent = (u >> 4) & 7
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def _g711_alaw_expand(u8: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte -> 16-bit PCM (vectorized; XOR 0x55 spec form)."""
+    a = u8.astype(np.int64) ^ 0x55
+    sign = (a & 0x80) != 0
+    exponent = (a >> 4) & 7
+    mantissa = a & 0x0F
+    mag = np.where(
+        exponent == 0,
+        (mantissa << 4) + 8,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+    )
+    # A-law's sign bit is inverted vs mu-law: bit 7 SET means positive
+    return np.where(sign, mag, -mag)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE -> ((n_frames, n_channels) float64 in [-1, 1], rate).
+
+    Linear PCM (8-bit unsigned / 16-bit signed LE) plus the G.711
+    companded telephony formats (format tag 6 = A-law, 7 = mu-law),
+    expanded with the vectorized spec formulas above."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -250,8 +407,21 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     # ZeroDivisionError inside the mapInPandas worker
     if n_ch < 1:
         raise ValueError(f"malformed WAV fmt chunk: n_channels={n_ch}")
+    if audio_format in (6, 7):  # G.711 A-law / mu-law
+        expand = _g711_alaw_expand if audio_format == 6 else _g711_ulaw_expand
+        key = f"_g711_table_{audio_format}"
+        table = globals().get(key)
+        if table is None:  # classic 256-entry expansion table, built once
+            table = expand(np.arange(256, dtype=np.uint8)) / 32768.0
+            globals()[key] = table
+        samples = table[np.frombuffer(raw, np.uint8)]
+        n_frames = len(samples) // n_ch
+        return samples[: n_frames * n_ch].reshape((n_frames, n_ch)), rate
     if audio_format != 1:
-        raise NotImplementedError("only PCM WAV supported")
+        raise NotImplementedError(
+            f"WAV format tag {audio_format} not supported "
+            "(PCM=1, A-law=6, mu-law=7 are)"
+        )
     if bits == 16:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 8:
@@ -292,6 +462,9 @@ def _real_decode(payload: bytes, dim: int) -> np.ndarray:
             # luminance from the color channels; alpha (2- or 4-channel) off
             img = img[:, :, 0] if img.shape[2] == 2 else img[:, :, :3].mean(axis=2)
         return _segment_means(img.ravel() / 255.0, dim)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        img = decode_gif(payload).astype(np.float64)
+        return _segment_means(img.mean(axis=2).ravel() / 255.0, dim)
     if payload[:2] == b"\xff\xd8":
         from entitylinking_spark.functions.jpeg import decode_jpeg
 
@@ -306,8 +479,9 @@ def _real_decode(payload: bytes, dim: int) -> np.ndarray:
     raise NotImplementedError(
         "compressed/unknown media format (supported without external libs: "
         "netpbm P5/P6, uncompressed 24-bit BMP, PNG 8-bit non-interlaced, "
-        "PCM WAV); JPEG/MP3/H.264 need Pillow/torchaudio/ffmpeg — plug a "
-        "decoder into operators/multimodal.py or pass use_stub_decoder=True"
+        "GIF, baseline JPEG, PCM/G.711 WAV); MP3/H.264 need torchaudio/"
+        "ffmpeg — plug a decoder into operators/multimodal.py or pass "
+        "use_stub_decoder=True"
     )
 
 

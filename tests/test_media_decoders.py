@@ -99,8 +99,11 @@ def test_wav_stereo():
 
 
 def test_real_decode_unknown_raises():
-    # GIF (LZW) has no stdlib decoder — still a declared unsupported format
+    # MP3 genuinely needs an external decoder — declared unsupported
     with pytest.raises(NotImplementedError, match="compressed/unknown"):
+        _real_decode(b"ID3\x03\x00" + b"\x00" * 16, 8)
+    # GIF decodes for real since round 5; truncated GIF fails loudly
+    with pytest.raises(ValueError):
         _real_decode(b"GIF87a" + b"\x00" * 16, 8)
     # truncated PNG now routes to the real PNG decoder and fails loudly
     with pytest.raises(ValueError, match="missing IHDR"):

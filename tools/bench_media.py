@@ -23,6 +23,7 @@ from entitylinking_spark.functions.media_synth import (  # noqa: E402
 )
 from entitylinking_spark.operators.multimodal import (  # noqa: E402
     decode_bmp,
+    decode_gif,
     decode_png,
     decode_ppm,
     decode_wav,
@@ -51,9 +52,12 @@ def main() -> None:
         "bmp": decode_bmp,
         "png_paeth_all": decode_png,
         "jpeg": decode_jpeg,
+        "gif_noise": decode_gif,
         "wav": decode_wav,
+        "wav_ulaw": decode_wav,
     }
     payloads["png_paeth_all"] = payloads.pop("png")
+    payloads["gif_noise"] = payloads.pop("gif")  # worst case: no runs
     report = {}
     for fmt, fn in decoders.items():
         dt, raw = _time(fn, payloads[fmt])
