@@ -1090,6 +1090,102 @@ ORDER BY d.doc_id
 """
 
 
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build (vocab.vocabulary): token dictionary with
+    tf/df and smoothed idf, min_df=2 pruned, top-50 by (tf desc, token) —
+    a deterministic total order, so the LIMIT sets agree."""
+    from entitylinking_spark.operators.vocab import vocabulary
+
+    d = _t(spark, sf_dir, "documents")
+    out = vocabulary(d, min_df=2, max_vocab=50)
+    return out.select(
+        "token", "tf", "df", F.round("idf", 6).alias("idf_r")
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+v AS (
+  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM toks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT token, tf, df,
+       ROUND(ln((n + 1.0) / (df + 1.0)) + 1.0, 6) AS idf_r
+FROM v, n ORDER BY tf DESC, token ASC LIMIT 50
+"""
+
+
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram PMI (vocab.bigram_pmi, min_count=8): collocation
+    score ln(p12/(p1 p2)) with occurrence-count probabilities; the same
+    division/log order in both engines, rounded to 6."""
+    from entitylinking_spark.operators.vocab import bigram_pmi
+
+    d = _t(spark, sf_dir, "documents")
+    out = bigram_pmi(d, min_count=8)
+    return out.select(
+        "w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi_r")
+    ).orderBy("w1", "w2")
+
+
+PMI_BIGRAMS_SQL = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+uni AS (SELECT unnest(t) AS token FROM toks),
+ucnt AS (SELECT token, count(*) AS n_tok FROM uni GROUP BY 1),
+big AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+1], ' '))) AS bigram
+  FROM toks
+),
+bcnt AS (
+  SELECT bigram, count(*) AS n_pair FROM big GROUP BY 1
+  HAVING count(*) >= 8
+),
+tot AS (SELECT (SELECT count(*) FROM uni) AS t_uni,
+               (SELECT count(*) FROM big) AS t_bi)
+SELECT split_part(bigram, ' ', 1) AS w1,
+       split_part(bigram, ' ', 2) AS w2,
+       n_pair,
+       ROUND(ln((n_pair / t_bi) /
+                ((u1.n_tok / t_uni) * (u2.n_tok / t_uni))), 6) AS pmi_r
+FROM bcnt
+JOIN ucnt u1 ON u1.token = split_part(bigram, ' ', 1)
+JOIN ucnt u2 ON u2.token = split_part(bigram, ' ', 2), tot
+ORDER BY w1, w2
+"""
+
+
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length percentiles (vocab.length_profile):
+    Spark percentile() and DuckDB quantile_cont share the linear-
+    interpolation definition, so the values match to rounding."""
+    from entitylinking_spark.operators.vocab import length_profile
+
+    d = _t(spark, sf_dir, "documents")
+    out = length_profile(d, group_col="lang", length_col="n_chars",
+                         percentiles=(0.5, 0.9, 0.99))
+    return out.select(
+        "group", "n_docs",
+        F.round("mean_len", 6).alias("mean_len_r"),
+        F.round("p50", 6).alias("p50_r"),
+        F.round("p90", 6).alias("p90_r"),
+        F.round("p99", 6).alias("p99_r"),
+    ).orderBy("group")
+
+
+LENGTH_PROFILE_SQL = """
+SELECT lang AS "group", count(*) AS n_docs,
+       ROUND(avg(n_chars), 6) AS mean_len_r,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_r,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_r,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99_r
+FROM documents GROUP BY lang ORDER BY "group"
+"""
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM-pipeline embedding near-dup pairs: integer-SRP bucketed cosine
     pairs >= 0.35 (4 planes). The bucket assignment is exact int64
@@ -2480,6 +2576,9 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "sample_strata": (sample_strata, SAMPLE_STRATA_SQL),
     "pack_docs": (pack_docs, PACK_DOCS_SQL),
     "dup_ngram_audit": (dup_ngram_audit, DUP_NGRAM_SQL),
+    "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
+    "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),
+    "corpus_length_profile": (corpus_length_profile, LENGTH_PROFILE_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

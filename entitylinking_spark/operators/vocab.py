@@ -1,0 +1,137 @@
+"""Corpus vocabulary & co-occurrence analytics.
+
+The corpus-wide text statistics a training-data pipeline derives once and
+reuses everywhere: the token dictionary with document frequencies and
+smoothed IDF (the BM25/TF-IDF input), adjacent-bigram PMI (collocation
+mining / tokenizer-merge candidates), and per-group length profiles
+(exact percentiles for corpus QA dashboards).
+
+Reference analogue: the reference builds per-corpus frequency tables
+inline while scoring (/root/reference/Sparkle/database.py:104-163 term
+frequencies; /root/reference/OneNet/data_process.py:239-268 corpus
+statistics); these operators materialize the same quantities as
+reusable corpus-level tables.
+
+Scale design:
+  * vocabulary — one explode + one map-side-combined groupBy on the
+    token; the output is vocab-sized (<< corpus). The optional top-K cut
+    sorts the VOCAB frame, never the corpus. The corpus doc count is the
+    one scalar action (bounded collect of a single value).
+  * bigram_pmi — bigram and unigram counts are two independent
+    aggregations over the same scan; the PMI join joins the BIGRAM table
+    (already >= min_count-pruned) against the unigram table twice on the
+    token — both sides are vocabulary-sized after aggregation.
+  * length_profile — percentile aggregation groups by the profile key;
+    exact percentiles need the per-group sort Spark's percentile()
+    performs, which is bounded by the largest group, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from entitylinking_spark.functions.strings import tokenize
+from entitylinking_spark.operators.textstats import ngram_tokens
+
+
+def vocabulary(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_df: int = 1,
+               max_vocab: int | None = None,
+               n_docs: int | None = None) -> DataFrame:
+    """Token dictionary: (token, tf, df, idf).
+
+    tf = total occurrences, df = documents containing the token, idf =
+    ln((N+1)/(df+1)) + 1 (the smoothed TF-IDF form — never negative,
+    defined for df=N). `min_df` prunes the long tail (hapaxes are
+    typically ~half the raw vocab); `max_vocab` keeps the top-K by tf
+    with (tf desc, token asc) deterministic tie-break. Pass `n_docs`
+    when the caller already knows the corpus size to skip the count job.
+    """
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    n = docs.count() if n_docs is None else int(n_docs)
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(tokenize(text_col)).alias("token")
+    )
+    out = (
+        toks.groupBy("token")
+        .agg(
+            F.count("*").alias("tf"),
+            F.count_distinct("_id").alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+        .withColumn(
+            "idf", F.log((F.lit(float(n + 1))) / (F.col("df") + 1)) + 1.0
+        )
+    )
+    if max_vocab is not None:
+        out = out.orderBy(F.desc("tf"), F.asc("token")).limit(int(max_vocab))
+    return out
+
+
+def bigram_pmi(docs: DataFrame, text_col: str = "text",
+               min_count: int = 5) -> DataFrame:
+    """Adjacent-bigram pointwise mutual information:
+    (w1, w2, n_pair, pmi) for every bigram seen >= min_count times.
+
+    pmi = ln( p(w1,w2) / (p(w1) p(w2)) ) with p(w1,w2) = n_pair / total
+    bigrams and p(w) = n_w / total tokens — the standard collocation
+    score (positive = the pair co-occurs more than independence
+    predicts). Counts are occurrence counts, not document counts.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    uni = (
+        docs.select(F.explode(tokenize(text_col)).alias("token"))
+        .groupBy("token").agg(F.count("*").alias("n_tok"))
+    )
+    bi = (
+        docs.select(F.explode(ngram_tokens(text_col, 2)).alias("bigram"))
+        .groupBy("bigram").agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .withColumn("w2", F.split("bigram", " ")[1])
+    )
+    totals = uni.agg(
+        F.sum("n_tok").alias("t_uni")
+    ).crossJoin(
+        docs.select(F.explode(ngram_tokens(text_col, 2)).alias("b"))
+        .agg(F.count("*").alias("t_bi"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n_tok").alias("n_w1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n_tok").alias("n_w2"))
+    return (
+        bi.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_pair",
+            F.log(
+                (F.col("n_pair") / F.col("t_bi"))
+                / ((F.col("n_w1") / F.col("t_uni"))
+                   * (F.col("n_w2") / F.col("t_uni")))
+            ).alias("pmi"),
+        )
+    )
+
+
+def length_profile(docs: DataFrame, group_col: str = "lang",
+                   length_col: str = "n_chars",
+                   percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)
+                   ) -> DataFrame:
+    """Per-group EXACT length percentiles + count/mean:
+    (group, n_docs, mean_len, p<50>, p<90>, ...).
+
+    Exact percentile() (linear interpolation between order statistics,
+    the same definition as DuckDB's quantile_cont), not approx — corpus
+    QA wants reproducible numbers; the per-group sort is bounded by the
+    largest group."""
+    aggs = [
+        F.count("*").alias("n_docs"),
+        F.avg(length_col).alias("mean_len"),
+    ]
+    for p in percentiles:
+        name = f"p{int(round(p * 100))}"
+        aggs.append(
+            F.expr(f"percentile({length_col}, {p!r})").alias(name)
+        )
+    return docs.groupBy(F.col(group_col).alias("group")).agg(*aggs)

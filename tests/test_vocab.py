@@ -1,0 +1,86 @@
+"""Corpus vocabulary / co-occurrence analytics (operators/vocab.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from entitylinking_spark.operators.vocab import (
+    bigram_pmi,
+    length_profile,
+    vocabulary,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "new york is a big city", "en", 22),
+        (1, "new york has a big port", "en", 23),
+        (2, "the city of new york", "en", 20),
+        (3, "a big dog and a big cat", "en", 23),
+        (4, "ciudad grande y perro grande", "es", 28),
+        (5, "el perro de la ciudad", "es", 21),
+    ]
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "n_chars"]
+    ).persist()
+
+
+def test_vocabulary_counts_and_idf(corpus):
+    v = {r["token"]: r for r in vocabulary(corpus).collect()}
+    assert v["new"]["tf"] == 3 and v["new"]["df"] == 3
+    assert v["big"]["tf"] == 4 and v["big"]["df"] == 3  # doc 3 has it twice
+    assert v["grande"]["tf"] == 2 and v["grande"]["df"] == 1
+    n = 6
+    for tok, r in v.items():
+        assert r["idf"] == pytest.approx(math.log((n + 1) / (r["df"] + 1)) + 1)
+
+
+def test_vocabulary_min_df_and_topk(corpus):
+    v2 = {r["token"] for r in vocabulary(corpus, min_df=2).collect()}
+    assert "grande" not in v2 and "new" in v2
+    top = vocabulary(corpus, max_vocab=3).collect()
+    assert len(top) == 3
+    # 'a' and 'big' tie at tf=4 -> asc-token tie-break puts 'a' first
+    assert top[0]["token"] == "a" and top[0]["tf"] == 4
+    assert top[1]["token"] == "big" and top[1]["tf"] == 4
+    tfs = [(r["tf"], r["token"]) for r in top]
+    assert tfs == sorted(tfs, key=lambda t: (-t[0], t[1]))
+    with pytest.raises(ValueError):
+        vocabulary(corpus, min_df=0)
+
+
+def test_vocabulary_n_docs_shortcut(corpus):
+    a = sorted(map(tuple, vocabulary(corpus).collect()))
+    b = sorted(map(tuple, vocabulary(corpus, n_docs=6).collect()))
+    assert a == b
+
+
+def test_bigram_pmi_closed_form(corpus):
+    out = {(r["w1"], r["w2"]): r for r in bigram_pmi(corpus, min_count=2).collect()}
+    assert ("new", "york") in out
+    r = out[("new", "york")]
+    assert r["n_pair"] == 3
+    # totals: tokens = sum of all token occurrences, bigrams = sum(len-1)
+    t_uni = sum(len(t.split()) for t in
+                [row["text"] for row in corpus.collect()])
+    t_bi = sum(len(t.split()) - 1 for t in
+               [row["text"] for row in corpus.collect()])
+    expect = math.log((3 / t_bi) / ((3 / t_uni) * (3 / t_uni)))
+    assert r["pmi"] == pytest.approx(expect)
+    # every reported pair clears min_count
+    assert all(r["n_pair"] >= 2 for r in out.values())
+    with pytest.raises(ValueError):
+        bigram_pmi(corpus, min_count=0)
+
+
+def test_length_profile_exact_percentiles(corpus):
+    prof = {r["group"]: r for r in
+            length_profile(corpus, percentiles=(0.5, 1.0)).collect()}
+    assert prof["en"]["n_docs"] == 4 and prof["es"]["n_docs"] == 2
+    # en lengths sorted: 20,22,23,23 -> p50 = 22.5 (linear interpolation)
+    assert prof["en"]["p50"] == pytest.approx(22.5)
+    assert prof["en"]["p100"] == 23
+    assert prof["es"]["p50"] == pytest.approx(24.5)
+    assert prof["en"]["mean_len"] == pytest.approx((20 + 22 + 23 + 23) / 4)
