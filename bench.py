@@ -184,6 +184,39 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("curate", curate_run)
 
+    # dataset assembly: stratified sample -> sharded packing in one plan,
+    # plus the corpus vocabulary + bigram-PMI aggregations
+    def assemble_run():
+        from entitylinking_spark.operators.mixing import (
+            pack_sequences, stratified_sample,
+        )
+
+        sampled = stratified_sample(docs, strata_col="lang",
+                                    fractions={"en": 1.0, "de": 0.5},
+                                    default_fraction=0.25)
+        packed = pack_sequences(sampled, budget=2048, n_shards=cpus)
+        # aggregate computed columns so Catalyst cannot skip the window
+        return packed.agg(F.max("pack_id"), F.sum("n_tokens")).collect()
+
+    timed("assemble", assemble_run)
+
+    def vocab_pmi_run():
+        from entitylinking_spark.operators.vocab import bigram_pmi
+
+        return bigram_pmi(docs, min_count=8).agg(
+            F.count("*"), F.sum("pmi")).collect()
+
+    timed("vocab_pmi", vocab_pmi_run)
+
+    # exact cross-doc duplicated-gram audit (the post-dedup QA pass)
+    def dup_audit_run():
+        from entitylinking_spark.operators.mixing import duplicated_ngram_stats
+
+        return duplicated_ngram_stats(docs, n=5).agg(
+            F.sum("n_dup_grams"), F.sum("dup_fraction")).collect()
+
+    timed("dup_audit", dup_audit_run)
+
     # --- media decode throughput (round-4 verdict #5) ---------------------
     # per-format MB/s through the mapInPandas decode path; PNG uses the
     # all-Paeth worst case so the number is the reconstruction floor.

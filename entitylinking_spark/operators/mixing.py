@@ -201,10 +201,14 @@ def duplicated_ngram_stats(docs: DataFrame, n: int = 8, min_docs: int = 2,
     than n tokens report 0 grams and fraction 0.0.
 
     Plan shape: grams shuffle as int64 xxhash64 values (8 B each, the
-    decontam discipline); gram doc-frequency is a map-side-combined
-    count over (gram, doc) distinct pairs; only grams clearing min_docs
-    join back, so the second join's small side is the duplicated tail.
-    A 2^-64-per-probe hash collision is the accepted trade at corpus
+    decontam discipline) and the gram doc-frequency is a COUNT WINDOW
+    over the gram hash on that single shuffled pass — one gram
+    extraction, one shuffle, no frequency-table join that would force
+    the corpus-wide gram explode (the expensive part: tokenize + gram
+    string build + hash) to run twice. Gram-less docs ride along as one
+    sentinel row hashed by their OWN id, so they spread across
+    partitions instead of piling into a null-key hot spot. A
+    2^-64-per-probe hash collision is the accepted trade at corpus
     scale; the DuckDB oracle joins gram STRINGS and agrees exactly at
     test scale (same argument as decontam.py).
     """
@@ -215,18 +219,24 @@ def duplicated_ngram_stats(docs: DataFrame, n: int = 8, min_docs: int = 2,
         F.explode_outer(
             F.array_distinct(ngram_tokens(text_col, n))
         ).alias("gram"),
-    ).select(id_col, F.xxhash64("gram").alias("gh"),
-             F.col("gram").isNotNull().alias("_has"))
-    # explode_outer keeps gram-less docs as one null row so every input
-    # doc appears in the output with n_grams = 0
-    df = grams.filter("_has").groupBy("gh").agg(
-        F.count("*").alias("df")
-    ).filter(F.col("df") >= min_docs).select("gh", F.lit(True).alias("_dup"))
-    flagged = grams.join(df, "gh", "left")
+    ).select(
+        id_col,
+        # explode_outer keeps gram-less docs as one null row so every
+        # input doc appears in the output with n_grams = 0; their window
+        # key is their own id hash (never counted, never skewed)
+        F.when(F.col("gram").isNotNull(), F.xxhash64("gram"))
+        .otherwise(F.xxhash64(F.col(id_col))).alias("gh"),
+        F.col("gram").isNotNull().alias("_has"),
+    )
+    w = Window.partitionBy("gh")
+    flagged = grams.withColumn(
+        "_dup",
+        F.col("_has")
+        & (F.sum(F.col("_has").cast("long")).over(w) >= F.lit(min_docs)),
+    )
     return flagged.groupBy(id_col).agg(
         F.sum(F.col("_has").cast("long")).alias("n_grams"),
-        F.sum((F.col("_dup").isNotNull() & F.col("_has")).cast("long"))
-        .alias("n_dup_grams"),
+        F.sum(F.col("_dup").cast("long")).alias("n_dup_grams"),
     ).select(
         id_col,
         "n_grams",

@@ -81,22 +81,28 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    # two corpus passes total (one per table); the totals come from the
+    # AGGREGATED tables (vocabulary-sized sums), never a third/fourth
+    # corpus scan, and bi_all is persisted so its total and its pruned
+    # rows share the single gram extraction
     uni = (
         docs.select(F.explode(tokenize(text_col)).alias("token"))
         .groupBy("token").agg(F.count("*").alias("n_tok"))
+        .persist()
     )
-    bi = (
+    bi_all = (
         docs.select(F.explode(ngram_tokens(text_col, 2)).alias("bigram"))
         .groupBy("bigram").agg(F.count("*").alias("n_pair"))
-        .filter(F.col("n_pair") >= min_count)
+        .persist()
+    )
+    totals = (
+        uni.agg(F.sum("n_tok").alias("t_uni"))
+        .crossJoin(bi_all.agg(F.sum("n_pair").alias("t_bi")))
+    )
+    bi = (
+        bi_all.filter(F.col("n_pair") >= min_count)
         .withColumn("w1", F.split("bigram", " ")[0])
         .withColumn("w2", F.split("bigram", " ")[1])
-    )
-    totals = uni.agg(
-        F.sum("n_tok").alias("t_uni")
-    ).crossJoin(
-        docs.select(F.explode(ngram_tokens(text_col, 2)).alias("b"))
-        .agg(F.count("*").alias("t_bi"))
     )
     u1 = uni.select(F.col("token").alias("w1"), F.col("n_tok").alias("n_w1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("n_tok").alias("n_w2"))
