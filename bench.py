@@ -225,8 +225,8 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
     def media():
         from entitylinking_spark.functions.media_synth import bench_payloads
         from entitylinking_spark.operators.multimodal import (
-            decode_bmp, decode_gif, decode_png, decode_ppm, decode_wav,
-            extract_features,
+            decode_avi_frames, decode_bmp, decode_gif, decode_png,
+            decode_ppm, decode_wav, extract_features,
         )
         from entitylinking_spark.functions.jpeg import decode_jpeg
 
@@ -237,11 +237,13 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
             "png": decode_png(payloads["png"]).nbytes,
             "jpeg": decode_jpeg(payloads["jpeg"]).nbytes,
             "gif": decode_gif(payloads["gif"]).nbytes,
+            # extract_features decodes the FIRST frame of a video payload
+            "avi": next(decode_avi_frames(payloads["avi"]))[1].nbytes,
             "wav": decode_wav(payloads["wav"])[0].nbytes,
             "wav_ulaw": decode_wav(payloads["wav_ulaw"])[0].nbytes,
         }
         reps = {"ppm": 128, "bmp": 128, "png": 32, "jpeg": 128, "gif": 32,
-                "wav": 64, "wav_ulaw": 64}
+                "avi": 64, "wav": 64, "wav_ulaw": 64}
         schema = (
             "media_id string, kind string, payload binary, "
             "meta struct<width:int,height:int,sample_rate:int,"
@@ -251,7 +253,8 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
         total_s = 0.0
         for fmt, pl in payloads.items():
             n = reps[fmt]
-            kind = "audio" if fmt.startswith("wav") else "image"
+            kind = ("audio" if fmt.startswith("wav")
+                    else "video" if fmt == "avi" else "image")
             df = spark.createDataFrame(
                 [(f"{fmt}{i}", kind, bytearray(pl), None) for i in range(n)],
                 schema,

@@ -181,6 +181,38 @@ def make_wav_ulaw(samples_i16: np.ndarray, rate: int = 8000,
     )
 
 
+def make_avi_mjpeg(frames: list[bytes], width: int, height: int,
+                   fps: int = 25) -> bytes:
+    """Minimal spec-built MJPEG AVI: RIFF(AVI ) / LIST hdrl(avih + strl) /
+    LIST movi with one '00dc' chunk per JPEG frame. Enough structure for
+    any MJPEG-capable player; the decoder under test walks the container
+    and decodes each chunk with its own JPEG path."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I", us_per_frame, max_bytes * fps, 0, 0x10, len(frames), 0, 1,
+        max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh", b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), max_bytes, 0xFFFFFFFF, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def make_wav(samples_i16: np.ndarray, rate: int = 8000, channels: int = 1) -> bytes:
     data = samples_i16.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
@@ -247,6 +279,9 @@ def bench_payloads(img_hw: tuple[int, int] = (256, 256),
         # random indices = LZW's worst case (no runs, table churn): the
         # recorded GIF MB/s is the per-code Python loop's floor
         "gif": make_gif_gray(img.mean(axis=2).astype(np.uint8)),
+        # 5-frame MJPEG around the external-encoder JPEG (160x120)
+        "avi": make_avi_mjpeg([base64.b64decode(BENCH_JPEG_B64)] * 5,
+                              160, 120),
         "wav": make_wav(pcm),
         "wav_ulaw": make_wav_ulaw(pcm),
     }

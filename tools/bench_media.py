@@ -22,6 +22,7 @@ from entitylinking_spark.functions.media_synth import (  # noqa: E402
     make_png,
 )
 from entitylinking_spark.operators.multimodal import (  # noqa: E402
+    decode_avi_frames,
     decode_bmp,
     decode_gif,
     decode_png,
@@ -53,11 +54,14 @@ def main() -> None:
         "png_paeth_all": decode_png,
         "jpeg": decode_jpeg,
         "gif_noise": decode_gif,
+        "avi_mjpeg": lambda d: np.stack(
+            [img for _, img in decode_avi_frames(d)]),
         "wav": decode_wav,
         "wav_ulaw": decode_wav,
     }
     payloads["png_paeth_all"] = payloads.pop("png")
     payloads["gif_noise"] = payloads.pop("gif")  # worst case: no runs
+    payloads["avi_mjpeg"] = payloads.pop("avi")
     report = {}
     for fmt, fn in decoders.items():
         dt, raw = _time(fn, payloads[fmt])
