@@ -81,10 +81,14 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    # two corpus passes total (one per table); the totals come from the
-    # AGGREGATED tables (vocabulary-sized sums), never a third/fourth
-    # corpus scan, and bi_all is persisted so its total and its pruned
-    # rows share the single gram extraction
+    # the totals are summed from the AGGREGATED count tables
+    # (vocabulary-sized), never a dedicated corpus scan, and collected
+    # eagerly as two bounded scalars while the tables are persisted; the
+    # persists are released before returning (the dedup.py discipline —
+    # no cache outlives its function), so the returned lazy plan embeds
+    # the totals as literals and recomputes the two count aggregations
+    # on action (uni twice — once per join side; AQE exchange reuse
+    # collapses the identical subplans at runtime where it can)
     uni = (
         docs.select(F.explode(tokenize(text_col)).alias("token"))
         .groupBy("token").agg(F.count("*").alias("n_tok"))
@@ -95,10 +99,17 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
         .groupBy("bigram").agg(F.count("*").alias("n_pair"))
         .persist()
     )
-    totals = (
+    t_uni, t_bi = (
         uni.agg(F.sum("n_tok").alias("t_uni"))
         .crossJoin(bi_all.agg(F.sum("n_pair").alias("t_bi")))
+        .first()
     )
+    if not t_uni or not t_bi:  # empty corpus / no bigrams: nothing to score
+        uni.unpersist()
+        bi_all.unpersist()
+        return docs.sparkSession.createDataFrame(
+            [], "w1 string, w2 string, n_pair long, pmi double"
+        )
     bi = (
         bi_all.filter(F.col("n_pair") >= min_count)
         .withColumn("w1", F.split("bigram", " ")[0])
@@ -106,38 +117,43 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
     )
     u1 = uni.select(F.col("token").alias("w1"), F.col("n_tok").alias("n_w1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("n_tok").alias("n_w2"))
-    return (
-        bi.join(u1, "w1").join(u2, "w2")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "w1", "w2", "n_pair",
-            F.log(
-                (F.col("n_pair") / F.col("t_bi"))
-                / ((F.col("n_w1") / F.col("t_uni"))
-                   * (F.col("n_w2") / F.col("t_uni")))
-            ).alias("pmi"),
-        )
+    out = bi.join(u1, "w1").join(u2, "w2").select(
+        "w1", "w2", "n_pair",
+        F.log(
+            (F.col("n_pair") / F.lit(float(t_bi)))
+            / ((F.col("n_w1") / F.lit(float(t_uni)))
+               * (F.col("n_w2") / F.lit(float(t_uni))))
+        ).alias("pmi"),
     )
+    uni.unpersist()
+    bi_all.unpersist()
+    return out
 
 
 def length_profile(docs: DataFrame, group_col: str = "lang",
                    length_col: str = "n_chars",
-                   percentiles: tuple[float, ...] = (0.5, 0.9, 0.99)
-                   ) -> DataFrame:
-    """Per-group EXACT length percentiles + count/mean:
+                   percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+                   exact: bool = True,
+                   approx_accuracy: int = 10_000) -> DataFrame:
+    """Per-group length percentiles + count/mean:
     (group, n_docs, mean_len, p<50>, p<90>, ...).
 
-    Exact percentile() (linear interpolation between order statistics,
-    the same definition as DuckDB's quantile_cont), not approx — corpus
-    QA wants reproducible numbers; the per-group sort is bounded by the
-    largest group."""
+    exact=True uses percentile() — linear interpolation between order
+    statistics, the same definition as DuckDB's quantile_cont, fully
+    reproducible — but it BUFFERS each group's values in executor memory
+    (fine for QA-sized groups, not for a billion-row language group).
+    exact=False is the corpus-scale path: approx_percentile's
+    Greenwald-Khanna sketch, constant memory per group, deterministic
+    for a fixed accuracy but a rank-error approximation (±1/accuracy)."""
     aggs = [
         F.count("*").alias("n_docs"),
         F.avg(length_col).alias("mean_len"),
     ]
     for p in percentiles:
         name = f"p{int(round(p * 100))}"
-        aggs.append(
-            F.expr(f"percentile({length_col}, {p!r})").alias(name)
+        expr = (
+            f"percentile({length_col}, {p!r})" if exact
+            else f"approx_percentile({length_col}, {p!r}, {approx_accuracy})"
         )
+        aggs.append(F.expr(expr).alias(name))
     return docs.groupBy(F.col(group_col).alias("group")).agg(*aggs)

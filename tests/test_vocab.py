@@ -84,3 +84,22 @@ def test_length_profile_exact_percentiles(corpus):
     assert prof["en"]["p100"] == 23
     assert prof["es"]["p50"] == pytest.approx(24.5)
     assert prof["en"]["mean_len"] == pytest.approx((20 + 22 + 23 + 23) / 4)
+
+
+def test_length_profile_approx_path(corpus):
+    """exact=False: sketch-based percentiles land within the rank-error
+    envelope of exact (here: tiny groups, so they coincide with an order
+    statistic)."""
+    exact = {r["group"]: r for r in
+             length_profile(corpus, percentiles=(0.5,)).collect()}
+    approx = {r["group"]: r for r in
+              length_profile(corpus, percentiles=(0.5,),
+                             exact=False).collect()}
+    members = {}
+    for r in corpus.collect():
+        members.setdefault(r["lang"], set()).add(r["n_chars"])
+    for g in exact:
+        assert approx[g]["n_docs"] == exact[g]["n_docs"]
+        # GK sketch returns an ACTUAL member value near the true rank
+        # (exact interpolates between order statistics, so they differ)
+        assert approx[g]["p50"] in members[g]
