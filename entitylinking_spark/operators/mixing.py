@@ -190,7 +190,8 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 64,
 
 def duplicated_ngram_stats(docs: DataFrame, n: int = 8, min_docs: int = 2,
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           kernel: str = "arrow") -> DataFrame:
     """Exact cross-document duplication: per doc, the fraction of its
     DISTINCT token n-grams that appear in >= min_docs documents
     (RefinedWeb-style residual-duplication audit — the exact complement
@@ -214,19 +215,39 @@ def duplicated_ngram_stats(docs: DataFrame, n: int = 8, min_docs: int = 2,
     """
     if n < 1 or min_docs < 1:
         raise ValueError("n and min_docs must be >= 1")
-    grams = docs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.array_distinct(ngram_tokens(text_col, n))
-        ).alias("gram"),
-    ).select(
+    # kernel='arrow' (default): decontam's rolling-combine siphash kernel
+    # — distinct gram HASHES straight out of one Arrow pass, no gram
+    # strings built (the interpreted ngram_tokens HOF is ~5x slower per
+    # core). kernel='expr' keeps the whole-stage-codegen gram-string
+    # twin whose xxhash64 values the parity test pins against arrow
+    # DECISIONS (the hashes differ; the dup verdicts cannot).
+    if kernel == "arrow":
+        from entitylinking_spark.operators.decontam import make_gram_hash_udf
+
+        gram_arrays = docs.select(
+            F.col(id_col), make_gram_hash_udf(n)(text_col).alias("_ghs")
+        )
+        exploded = gram_arrays.select(
+            F.col(id_col), F.explode_outer("_ghs").alias("gh0")
+        )
+    else:
+        exploded = docs.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.array_distinct(ngram_tokens(text_col, n))
+            ).alias("gram"),
+        ).select(id_col, F.xxhash64("gram").alias("gh0"),
+                 F.col("gram").isNull().alias("_null"))
+        exploded = exploded.select(
+            id_col, F.when(~F.col("_null"), F.col("gh0")).alias("gh0")
+        )
+    grams = exploded.select(
         id_col,
         # explode_outer keeps gram-less docs as one null row so every
         # input doc appears in the output with n_grams = 0; their window
         # key is their own id hash (never counted, never skewed)
-        F.when(F.col("gram").isNotNull(), F.xxhash64("gram"))
-        .otherwise(F.xxhash64(F.col(id_col))).alias("gh"),
-        F.col("gram").isNotNull().alias("_has"),
+        F.coalesce(F.col("gh0"), F.xxhash64(F.col(id_col))).alias("gh"),
+        F.col("gh0").isNotNull().alias("_has"),
     )
     w = Window.partitionBy("gh")
     flagged = grams.withColumn(

@@ -31,7 +31,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from entitylinking_spark.functions.strings import tokenize
-from entitylinking_spark.operators.textstats import ngram_tokens
 
 
 def vocabulary(docs: DataFrame, id_col: str = "doc_id",
@@ -81,23 +80,33 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
     """
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
-    # the totals are summed from the AGGREGATED count tables
-    # (vocabulary-sized), never a dedicated corpus scan, and collected
-    # eagerly as two bounded scalars while the tables are persisted; the
-    # persists are released before returning (the dedup.py discipline —
-    # no cache outlives its function), so the returned lazy plan embeds
-    # the totals as literals and recomputes the two count aggregations
-    # on action (uni twice — once per join side; AQE exchange reuse
-    # collapses the identical subplans at runtime where it can)
+    # each count table is extracted from the corpus exactly ONCE:
+    # localCheckpoint(eager=True) materializes the vocabulary-sized
+    # aggregates, the totals are two bounded scalars summed from them,
+    # and every later consumer (the pruned bigrams, both unigram join
+    # sides) reads the checkpointed blocks instead of re-exploding the
+    # corpus. Unlike persist(), localCheckpoint storage is released by
+    # the ContextCleaner when the returned plan is garbage-collected —
+    # no cache outlives its consumers (the cc.py/incremental discipline)
     uni = (
         docs.select(F.explode(tokenize(text_col)).alias("token"))
         .groupBy("token").agg(F.count("*").alias("n_tok"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
+    # adjacent pairs via arrays_zip of two shifted slices — whole-stage
+    # codegen end to end, vs ngram_tokens' transform(sequence) lambda
+    # which Spark interprets per element (NOTES round-1 finding; measured
+    # 6x at sf0.1). Same pair set as ngram_tokens(text, 2), parity-tested.
+    toks = tokenize(text_col)
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
     bi_all = (
-        docs.select(F.explode(ngram_tokens(text_col, 2)).alias("bigram"))
-        .groupBy("bigram").agg(F.count("*").alias("n_pair"))
-        .persist()
+        docs.select(
+            F.explode(F.arrays_zip(F.slice(toks, 1, n1),
+                                   F.slice(toks, 2, n1))).alias("p")
+        )
+        .groupBy(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .agg(F.count("*").alias("n_pair"))
+        .localCheckpoint(eager=True)
     )
     t_uni, t_bi = (
         uni.agg(F.sum("n_tok").alias("t_uni"))
@@ -105,19 +114,13 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
         .first()
     )
     if not t_uni or not t_bi:  # empty corpus / no bigrams: nothing to score
-        uni.unpersist()
-        bi_all.unpersist()
         return docs.sparkSession.createDataFrame(
             [], "w1 string, w2 string, n_pair long, pmi double"
         )
-    bi = (
-        bi_all.filter(F.col("n_pair") >= min_count)
-        .withColumn("w1", F.split("bigram", " ")[0])
-        .withColumn("w2", F.split("bigram", " ")[1])
-    )
+    bi = bi_all.filter(F.col("n_pair") >= min_count)
     u1 = uni.select(F.col("token").alias("w1"), F.col("n_tok").alias("n_w1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("n_tok").alias("n_w2"))
-    out = bi.join(u1, "w1").join(u2, "w2").select(
+    return bi.join(u1, "w1").join(u2, "w2").select(
         "w1", "w2", "n_pair",
         F.log(
             (F.col("n_pair") / F.lit(float(t_bi)))
@@ -125,9 +128,6 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
                * (F.col("n_w2") / F.lit(float(t_uni))))
         ).alias("pmi"),
     )
-    uni.unpersist()
-    bi_all.unpersist()
-    return out
 
 
 def length_profile(docs: DataFrame, group_col: str = "lang",

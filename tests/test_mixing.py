@@ -186,3 +186,17 @@ def test_mix_pipeline_composes(corpus):
     packed = pack_sequences(sampled, budget=64, n_shards=2)
     n = packed.count()
     assert n == sampled.count() and n < 120
+
+
+def test_duplicated_grams_arrow_equals_expr(spark):
+    """kernel='arrow' (rolling siphash) and kernel='expr' (gram-string
+    xxhash64) hash differently but must produce identical per-doc
+    verdicts."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, shared + f" tail{i} tail{i}b") for i in range(4)]
+    rows += [(9, "a b"), (10, "entirely different words all around here now")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, duplicated_ngram_stats(docs, n=3).collect()))
+    e = sorted(map(tuple,
+                   duplicated_ngram_stats(docs, n=3, kernel="expr").collect()))
+    assert a == e
