@@ -200,3 +200,14 @@ def test_duplicated_grams_arrow_equals_expr(spark):
     e = sorted(map(tuple,
                    duplicated_ngram_stats(docs, n=3, kernel="expr").collect()))
     assert a == e
+
+
+def test_packing_partitioning_invariant(corpus):
+    """The pack layout is a pure function of (ids, tokens, seed): physical
+    partitioning of the input must not change any assignment."""
+    base = sorted(map(tuple, pack_sequences(corpus, budget=32, n_shards=4).collect()))
+    shuffled = sorted(map(tuple, pack_sequences(
+        corpus.repartition(13), budget=32, n_shards=4).collect()))
+    one_part = sorted(map(tuple, pack_sequences(
+        corpus.coalesce(1), budget=32, n_shards=4).collect()))
+    assert base == shuffled == one_part
