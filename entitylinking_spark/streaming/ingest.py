@@ -212,14 +212,23 @@ def stream_curate(
         sha = F.sha2(F.col("text").cast("string"), 256)
         keyed = ann.withColumn("_sha", sha)
         if os.path.isdir(seen_dir):
-            seen = (
+            # decontam-style probe: broadcast THIS batch's shas (small by
+            # definition) and semi-join them into the seen-table scan —
+            # one map-side pass over the accumulated shas, zero shuffle
+            # of the big side, hit list bounded by the batch. (The scan
+            # itself is O(total shas) per batch; a Bloom-filter sidecar
+            # or a bucketed seen table is the upgrade path when that
+            # read dominates.)
+            batch_shas = keyed.select("_sha").distinct()
+            hits = (
                 spark.read.parquet(seen_dir)
                 # exclude own partition: a crashed attempt's leftovers
                 # must not flag the replayed batch as its own duplicate
                 .filter(F.col("_batch_id") != bid)
+                .join(F.broadcast(batch_shas), "_sha", "leftsemi")
                 .select("_sha").distinct().withColumn("_seen", F.lit(True))
             )
-            keyed = keyed.join(seen, "_sha", "left").withColumn(
+            keyed = keyed.join(F.broadcast(hits), "_sha", "left").withColumn(
                 "is_duplicate",
                 F.col("is_duplicate") | F.coalesce(F.col("_seen"), F.lit(False)),
             ).drop("_seen")
