@@ -1090,6 +1090,129 @@ ORDER BY d.doc_id
 """
 
 
+def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup (cleaning.remove_duplicated_lines,
+    min_docs=3): a shared footer line planted on every 7th doc must be
+    dropped everywhere while unique lines and blank lines survive, each
+    doc's text rebuilt in original line order. Spark counts line
+    xxhash64 values; DuckDB counts the line STRINGS."""
+    from entitylinking_spark.operators.cleaning import remove_duplicated_lines
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit("\nshared footer line")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return remove_duplicated_lines(d, min_docs=3).orderBy("doc_id")
+
+
+C4_LINE_DEDUP_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || 'shared footer line'
+              ELSE text END AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+  FROM d
+),
+fr AS (
+  SELECT line, count(DISTINCT doc_id) AS df
+  FROM l WHERE length(line) > 0 GROUP BY 1
+),
+fl AS (
+  SELECT l.doc_id, l.pos, l.line,
+         (length(l.line) > 0 AND COALESCE(f.df, 0) >= 3) AS dropped
+  FROM l LEFT JOIN fr f ON l.line = f.line
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN NOT dropped THEN line END,
+                           chr(10) ORDER BY pos), '') AS text_clean,
+       count(*) AS n_lines,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS n_dropped
+FROM fl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def gopher_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher §A1.1 quality gate (cleaning.gopher_rules): per-rule boolean
+    verdicts + the AND, every rule recomputed by DuckDB from the same
+    whitespace-word and line definitions."""
+    from entitylinking_spark.operators.cleaning import (
+        GopherConfig, gopher_rules,
+    )
+
+    # the synthetic corpus contains none of Gopher's stop set — plant it
+    # on every 3rd doc so the gate discriminates (both verdicts occur)
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" the stock that we have to be of and with")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return gopher_rules(d, GopherConfig(min_words=10)).orderBy("doc_id")
+
+
+_GW = "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')"
+_GL = "list_filter(string_split(text, chr(10)), l -> l <> '')"
+
+GOPHER_DOCS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' the stock that we have to be of and with'
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, text,
+         len({_GW}) AS n_words,
+         len({_GL}) AS n_lines,
+         CAST(list_sum(list_transform({_GW}, w -> length(w))) AS DOUBLE)
+           / greatest(len({_GW}), 1) AS mean_wl,
+         len(string_split(text, '#')) - 1
+           + len(string_split(text, '...')) - 1
+           + len(string_split(text, '…')) - 1 AS n_sym,
+         len(list_filter({_GL}, l -> regexp_matches(l, '^\\s*[-*•]')))
+           AS bullet_lines,
+         len(list_filter({_GL}, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+           AS ellipsis_lines,
+         len(list_filter({_GW}, w -> regexp_matches(w, '[A-Za-z]')))
+           AS alpha_words,
+         CAST(regexp_matches(lower(text), '\\bthe\\b') AS INT)
+       + CAST(regexp_matches(lower(text), '\\bbe\\b') AS INT)
+       + CAST(regexp_matches(lower(text), '\\bto\\b') AS INT)
+       + CAST(regexp_matches(lower(text), '\\bof\\b') AS INT)
+       + CAST(regexp_matches(lower(text), '\\band\\b') AS INT)
+       + CAST(regexp_matches(lower(text), '\\bthat\\b') AS INT)
+       + CAST(regexp_matches(lower(text), '\\bhave\\b') AS INT)
+       + CAST(regexp_matches(lower(text), '\\bwith\\b') AS INT) AS stop_hits
+  FROM d
+)
+SELECT doc_id, n_words,
+       (n_words >= 10 AND n_words <= 100000) AS rule_word_count,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS rule_mean_word_len,
+       (n_sym <= 0.1 * greatest(n_words, 1)) AS rule_symbol_ratio,
+       (bullet_lines <= 0.9 * greatest(n_lines, 1)) AS rule_bullet_lines,
+       (ellipsis_lines <= 0.3 * greatest(n_lines, 1)) AS rule_ellipsis_lines,
+       (alpha_words >= 0.8 * greatest(n_words, 1)) AS rule_alpha_words,
+       (stop_hits >= 2) AS rule_stop_words,
+       ((n_words >= 10 AND n_words <= 100000)
+        AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND (n_sym <= 0.1 * greatest(n_words, 1))
+        AND (bullet_lines <= 0.9 * greatest(n_lines, 1))
+        AND (ellipsis_lines <= 0.3 * greatest(n_lines, 1))
+        AND (alpha_words >= 0.8 * greatest(n_words, 1))
+        AND (stop_hits >= 2)) AS passes_gopher
+FROM t ORDER BY doc_id
+"""
+
+
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build (vocab.vocabulary): token dictionary with
     tf/df and smoothed idf, min_df=2 pruned, top-50 by (tf desc, token) —
@@ -2579,6 +2702,8 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "vocab_topk": (vocab_topk, VOCAB_TOPK_SQL),
     "pmi_bigrams": (pmi_bigrams, PMI_BIGRAMS_SQL),
     "corpus_length_profile": (corpus_length_profile, LENGTH_PROFILE_SQL),
+    "c4_line_dedup": (c4_line_dedup, C4_LINE_DEDUP_SQL),
+    "gopher_docs": (gopher_docs, GOPHER_DOCS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}
