@@ -64,10 +64,17 @@ def remove_duplicated_lines(docs: DataFrame, min_docs: int = 3,
         F.when(F.length("line") > 0, F.xxhash64("line"))
         .otherwise(F.xxhash64(F.col(id_col))).alias("lh"),
     )
-    w = Window.partitionBy("lh")
     # distinct docs per line, not occurrences: a doc repeating its own
-    # line must not push it over the corpus threshold
-    doc_freq = F.size(F.collect_set(id_col).over(w))
+    # line must not push it over the corpus threshold. Counted with a
+    # lag-based first-occurrence-within-doc flag summed over the line
+    # partition — one shuffle, bounded memory per row (a collect_set
+    # window would materialize the full doc set per row: a line present
+    # in 10^8 docs is exactly the case this operator exists for)
+    w_occ = Window.partitionBy("lh").orderBy(id_col, "pos")
+    prev_doc = F.lag(id_col).over(w_occ)
+    first_in_doc = (prev_doc.isNull() | (prev_doc != F.col(id_col)))
+    w_all = Window.partitionBy("lh")
+    doc_freq = F.sum(first_in_doc.cast("long")).over(w_all)
     flagged = lines.withColumn(
         "_drop", F.col("_counted") & (doc_freq >= F.lit(min_docs))
     )
