@@ -1367,6 +1367,60 @@ ORDER BY id_l, id_r
 """
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding channel's pairs->clusters composition: the SAME
+    near-dup pairs as `embedding_near_dup`, closed under transitivity by
+    connected_components (cluster id = min member), singletons included —
+    DuckDB recomputes the pairs bit-for-bit and closes them with a
+    recursive CTE."""
+    from entitylinking_spark.operators.cc import connected_components
+    from entitylinking_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35, n_planes=4, dim=64)
+    edges = pairs.select(
+        F.col("id_l").cast("long").alias("src"),
+        F.col("id_r").cast("long").alias("dst"),
+    )
+    clusters = connected_components(
+        edges, all_ids=emb.select(F.col("vec_id").alias("row_id"))
+    )
+    return clusters.select(
+        F.col("row_id").alias("vec_id"), "cluster_id"
+    ).orderBy("vec_id")
+
+
+_EMB_EDGES_SQL = EMB_NEAR_DUP_SQL.strip().removeprefix("WITH").rsplit(
+    "SELECT a.vec_id", 1
+)[0]
+
+EMB_DUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _EMB_EDGES_SQL.strip().rstrip(")").rstrip()
+    + """),
+edges AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ae ON ae.vec_id = a.vec_id
+  JOIN embeddings be ON be.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+                               CAST(be.embedding AS DOUBLE[])) >= 0.35
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT vec_id AS id, vec_id AS comp FROM embeddings
+  UNION
+  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id
+)
+SELECT id AS vec_id, MIN(comp) AS cluster_id FROM reach GROUP BY id
+ORDER BY vec_id
+"""
+)
+
+
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/X14 embedding top-k: exact cosine top-5 for vec_id < 3 queries."""
     from entitylinking_spark.operators.similarity import brute_force_topk
@@ -2677,6 +2731,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "doc_repetition": (doc_repetition, DOC_REPETITION_SQL),
     "dup_lines": (dup_lines, DUP_LINES_SQL),
     "embedding_near_dup": (embedding_near_dup, EMB_NEAR_DUP_SQL),
+    "embedding_dup_clusters": (embedding_dup_clusters, EMB_DUP_CLUSTERS_SQL),
     "g5_overlapping_groups": (g5_overlapping_groups, G5_SQL),
     "g5_repair_oracle": (g5_repair_oracle, G5_REPAIR_SQL),
     "er_clusters": (er_clusters, ER_CLUSTERS_SQL),
