@@ -217,6 +217,26 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("dup_audit", dup_audit_run)
 
+    # C4 line dedup (cross-doc, text rebuilt) + Gopher rule gate
+    def line_dedup_run():
+        from entitylinking_spark.operators.cleaning import (
+            remove_duplicated_lines,
+        )
+
+        return remove_duplicated_lines(docs, min_docs=3).agg(
+            F.sum("n_dropped"), F.sum(F.length("text_clean"))).collect()
+
+    timed("line_dedup", line_dedup_run)
+
+    def gopher_run():
+        from entitylinking_spark.operators.cleaning import gopher_rules
+
+        return gopher_rules(docs).agg(
+            F.sum(F.col("passes_gopher").cast("long")),
+            F.sum("n_words")).collect()
+
+    timed("gopher", gopher_run)
+
     # --- media decode throughput (round-4 verdict #5) ---------------------
     # per-format MB/s through the mapInPandas decode path; PNG uses the
     # all-Paeth worst case so the number is the reconstruction floor.
