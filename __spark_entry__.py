@@ -1213,6 +1213,158 @@ FROM t ORDER BY doc_id
 """
 
 
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring spans (cleaning.duplicate_spans, n=5,
+    min_count=2 — Lee et al. 2022 ExactSubstr relational form): an 8-token
+    passage planted on every 5th doc must come back as a merged span
+    (4 dup grams, 8 covered tokens) wherever its context is unique; the
+    natural corpus duplication rides along. Spark counts gram xxhash64
+    values; DuckDB counts the gram STRINGS."""
+    from entitylinking_spark.operators.cleaning import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(_SPAN_PLANT)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    out = duplicate_spans(d, n=5, min_count=2)
+    # raw double (not ROUND): one division of exact longs is bit-equal in
+    # both engines; ROUND diverges on exact .5 ties (see quality_scores)
+    return out.select(
+        "doc_id", "n_tokens", "n_grams", "n_dup_grams", "n_spans",
+        "covered_tokens", "max_span_tokens", "dup_token_frac",
+    ).orderBy("doc_id")
+
+
+_SPAN_PLANT = " alpha beta gamma delta epsilon zeta eta theta"
+
+# 5-gram strings with 0-based positions (matches Spark's posexplode)
+_G5_POS_SQL = _G5_SQL.format(t="t")
+
+DUP_SPANS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || '{_SPAN_PLANT}'
+              ELSE text END AS text
+  FROM documents
+),
+dt AS (SELECT doc_id, {_TOKS_SQL} AS t FROM d),
+g AS (
+  SELECT doc_id,
+         unnest({_G5_POS_SQL}) AS gram,
+         unnest(range(0, len({_G5_POS_SQL}))) AS pos
+  FROM dt
+),
+fr AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN fr USING (gram)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+              THEN 1 ELSE 0 END AS b
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, gid, max(pos) - min(pos) + 5 AS toks, count(*) AS ng
+  FROM grp GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, count(*) AS n_spans, sum(ng) AS n_dup,
+         sum(toks) AS covered, max(toks) AS mx
+  FROM spans GROUP BY 1
+)
+SELECT dt.doc_id,
+       len(t) AS n_tokens,
+       greatest(len(t) - 4, 0) AS n_grams,
+       COALESCE(per.n_dup, 0) AS n_dup_grams,
+       COALESCE(per.n_spans, 0) AS n_spans,
+       COALESCE(per.covered, 0) AS covered_tokens,
+       COALESCE(per.mx, 0) AS max_span_tokens,
+       (CASE WHEN len(t) > 0
+             THEN CAST(COALESCE(per.covered, 0) AS DOUBLE) / len(t)
+             ELSE 0.0 END) AS dup_token_frac
+FROM dt LEFT JOIN per USING (doc_id) ORDER BY doc_id
+"""
+
+
+def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (mixing.cap_per_domain, cap=30 over the 5
+    `source` domains of ~100 docs each at sf0.01): the two-level top-K
+    must equal DuckDB's single global row_number() over (domain, seeded
+    md5 order) — keep flag AND exact rank for every kept doc."""
+    from entitylinking_spark.operators.mixing import cap_per_domain
+
+    d = _t(spark, sf_dir, "documents")
+    return cap_per_domain(d, cap=30, seed="c1", n_buckets=8).orderBy("doc_id")
+
+
+DOMAIN_CAPS_SQL = f"""
+WITH h AS (
+  SELECT doc_id, source AS domain,
+         {_H60_SQL.format(x="'c1:' || CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents
+),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) AS rk
+  FROM h
+)
+SELECT doc_id, domain, rk <= 30 AS keep,
+       CASE WHEN rk <= 30 THEN rk ELSE -1 END AS rank_in_domain
+FROM r ORDER BY doc_id
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (classify.score_documents with the
+    deterministic 256-bucket weight table): integer weight sums, the
+    single-division score, and the threshold label all recomputed by
+    DuckDB from the same md5-derived buckets and weights."""
+    from entitylinking_spark.operators.classify import (
+        hashed_weights, score_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = score_documents(d, hashed_weights(spark, 256, seed="q1"), 256)
+    # raw double, not ROUND: the score is ONE division of exact integers,
+    # bit-equal in both engines, while ROUND diverges on exact .5 ties
+    # (Spark HALF_UP vs DuckDB half-even — seen at sf0.001 doc 147)
+    return out.select(
+        "doc_id", "n_tokens", "w_sum", "score", "label",
+    ).orderBy("doc_id")
+
+
+QUALITY_SCORES_SQL = f"""
+WITH w AS (
+  SELECT CAST(b AS INT) AS bucket,
+         {_H60_SQL.format(x="'q1:' || CAST(b AS VARCHAR)")} % 2001 - 1000
+           AS wv
+  FROM range(256) t(b)
+),
+tok AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+bk AS (SELECT doc_id, {_H60_SQL.format(x="tok")} % 256 AS bucket FROM tok),
+per AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(wv) AS w_sum
+  FROM bk JOIN w USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.w_sum, 0) AS w_sum,
+       (CASE WHEN COALESCE(per.n_tokens, 0) > 0
+             THEN CAST(per.w_sum AS DOUBLE) / (1000.0 * per.n_tokens)
+             ELSE 0.0 END) AS score,
+       (CASE WHEN COALESCE(per.n_tokens, 0) > 0
+             THEN CAST(per.w_sum AS DOUBLE) / (1000.0 * per.n_tokens)
+             ELSE 0.0 END) >= 0.0 AS label
+FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary build (vocab.vocabulary): token dictionary with
     tf/df and smoothed idf, min_df=2 pruned, top-50 by (tf desc, token) —
@@ -2759,6 +2911,9 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "corpus_length_profile": (corpus_length_profile, LENGTH_PROFILE_SQL),
     "c4_line_dedup": (c4_line_dedup, C4_LINE_DEDUP_SQL),
     "gopher_docs": (gopher_docs, GOPHER_DOCS_SQL),
+    "dup_spans": (dup_spans, DUP_SPANS_SQL),
+    "domain_caps": (domain_caps, DOMAIN_CAPS_SQL),
+    "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

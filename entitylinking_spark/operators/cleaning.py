@@ -1,7 +1,9 @@
-"""Corpus-level text cleaning: C4 line dedup and Gopher document rules.
+"""Corpus-level text cleaning: C4 line dedup, Gopher document rules, and
+exact duplicate-substring spans.
 
-Two published curation procedures every large pre-training corpus build
-runs (Raffel et al. 2020 "C4"; Rae et al. 2021 "Gopher" §A1.1), as
+Three published curation procedures every large pre-training corpus build
+runs (Raffel et al. 2020 "C4"; Rae et al. 2021 "Gopher" §A1.1; Lee et al.
+2022 "Deduplicating Training Data Makes Language Models Better"), as
 declarative DataFrame plans:
 
   remove_duplicated_lines   drop every line that occurs in >= min_docs
@@ -14,6 +16,12 @@ declarative DataFrame plans:
                             (`passes_gopher`) — annotate, don't drop,
                             so the funnel stays auditable (same stance
                             as plans/curation.py).
+  duplicate_spans           per-document maximal token spans covered by
+                            n-grams that occur >= min_count times in the
+                            whole corpus — the relational restatement of
+                            Lee et al.'s suffix-array ExactSubstr pass
+                            (annotate, don't cut; the loader or a
+                            projection applies the cut).
 
 Reference analogue: the reference cleans its eval corpora with per-file
 string passes (/root/reference/OneNet/data_process.py:137-239 normalize +
@@ -29,6 +37,11 @@ Scale design:
     (every doc shares them; dropping would mangle formatting).
   * gopher_rules — pure column expressions over one scan; zero
     shuffles at any corpus size.
+  * duplicate_spans — positional grams shuffle once as int64 hashes for
+    the corpus-frequency count window, then once more keyed by doc id
+    for the span merge; only DUPLICATED gram rows (the tail the operator
+    exists to find) enter the second shuffle. No frequency-table join,
+    no driver state, no text movement after the first projection.
 """
 
 from __future__ import annotations
@@ -169,3 +182,127 @@ def gopher_rules(docs: DataFrame, config: GopherConfig | None = None,
     for c in rules:
         passes = F.col(c) if passes is None else passes & F.col(c)
     return out.withColumn("passes_gopher", passes)
+
+
+def duplicate_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    emit: str = "stats", kernel: str = "arrow") -> DataFrame:
+    """Exact duplicate-substring spans (Lee et al. 2022, arXiv:2107.06499
+    "ExactSubstr"): find, per document, the maximal token ranges covered
+    by token n-grams occurring >= `min_count` times across the WHOLE
+    corpus (total occurrences — a doc repeating its own passage counts,
+    exactly as a suffix array would see it).
+
+    emit='stats' (default) returns one row per input document:
+      (id, n_tokens, n_grams, n_dup_grams, n_spans, covered_tokens,
+       max_span_tokens, dup_token_frac)
+    emit='spans' returns one row per span:
+      (id, span_start, span_tokens, n_grams_in_span)
+    with span_start a 0-based token offset.
+
+    Two duplicated grams at token offsets p < q describe overlapping or
+    abutting token intervals iff q <= p + n, so spans are gaps-and-islands
+    with gap threshold n — `covered_tokens` is the EXACT size of the union
+    of duplicated-gram intervals, never double-counted. Lee et al. cut at
+    50 BPE tokens; n here is in engine tokens (functions/strings.tokenize)
+    and the published setting maps to n~50.
+
+    Collision note: corpus frequency is counted on 64-bit gram hashes —
+    the 2^-64 trade documented in decontam.py; the DuckDB oracle counts
+    gram STRINGS and agrees exactly at test scale. Frequency is a COUNT
+    WINDOW over the single positional-gram pass (the
+    remove_duplicated_lines discipline); gram-less docs ride along on an
+    own-id sentinel key.
+
+    kernel='arrow' (default): decontam's POSITIONAL siphash gram kernel —
+    hashes in token order straight out of one Arrow pass, no gram strings
+    built. kernel='expr' keeps the whole-stage-codegen gram-string twin
+    (xxhash64 space); positions and span decisions are identical modulo
+    a 64-bit collision (parity-tested).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would span every doc)")
+    if emit not in ("stats", "spans"):
+        raise ValueError("emit must be 'stats' or 'spans'")
+    from entitylinking_spark.operators.textstats import ngram_tokens, tokenize
+
+    if kernel == "arrow":
+        from entitylinking_spark.operators.decontam import (
+            make_pos_gram_hash_udf,
+        )
+
+        gram_rows = docs.select(
+            F.col(id_col),
+            F.size(tokenize(text_col)).alias("n_tokens"),
+            F.posexplode_outer(
+                make_pos_gram_hash_udf(n)(text_col)
+            ).alias("pos", "gh0"),
+        )
+    else:
+        gram_rows = docs.select(
+            F.col(id_col),
+            F.size(tokenize(text_col)).alias("n_tokens"),
+            F.posexplode_outer(
+                ngram_tokens(text_col, n)
+            ).alias("pos", "gram"),
+        ).select(
+            id_col, "n_tokens", "pos",
+            # xxhash64(NULL) is NON-null (it hashes the seed): preserve
+            # the null so gram-less docs stay gram-less downstream
+            F.when(F.col("gram").isNotNull(), F.xxhash64("gram"))
+            .alias("gh0"),
+        )
+    g = gram_rows.select(
+        id_col, "n_tokens", "pos",
+        # explode_outer keeps gram-less docs as one null row (they still
+        # report zeros in stats mode); their window key is their own id
+        # hash — never counted, never a null-key hot spot
+        F.coalesce(F.col("gh0"), F.xxhash64(F.col(id_col))).alias("gh"),
+        F.col("gh0").isNotNull().alias("_has"),
+    )
+    w_cnt = Window.partitionBy("gh")
+    flagged = g.withColumn(
+        "_dup",
+        F.col("_has")
+        & (F.sum(F.col("_has").cast("long")).over(w_cnt) >= F.lit(min_count)),
+    )
+    dup = flagged.filter(F.col("_dup"))
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w_doc)
+    runs = dup.withColumn(
+        "_brk", F.when(gap.isNull() | (gap > n), 1).otherwise(0)
+    ).withColumn("_grp", F.sum("_brk").over(w_doc))
+    spans = runs.groupBy(id_col, "_grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") - F.min("pos") + n).cast("long").alias("span_tokens"),
+        F.count("*").alias("n_grams_in_span"),
+    )
+    if emit == "spans":
+        return spans.select(id_col, "span_start", "span_tokens",
+                            "n_grams_in_span")
+    per = spans.groupBy(id_col).agg(
+        F.count("*").alias("n_spans"),
+        F.sum("n_grams_in_span").alias("n_dup_grams"),
+        F.sum("span_tokens").alias("covered_tokens"),
+        F.max("span_tokens").alias("max_span_tokens"),
+    )
+    # per-doc totals from the SAME flagged pass (not a second tokenize
+    # scan of the corpus): every doc is present — gram-less ones as their
+    # sentinel row — so the left join below only back-fills span columns
+    doc_tot = flagged.groupBy(id_col).agg(
+        F.max("n_tokens").cast("long").alias("n_tokens"),
+        F.sum(F.col("_has").cast("long")).alias("n_grams"),
+    )
+    z = F.lit(0).cast("long")
+    return doc_tot.join(per, id_col, "left").select(
+        id_col, "n_tokens", "n_grams",
+        F.coalesce("n_dup_grams", z).alias("n_dup_grams"),
+        F.coalesce("n_spans", z).alias("n_spans"),
+        F.coalesce("covered_tokens", z).alias("covered_tokens"),
+        F.coalesce("max_span_tokens", z).alias("max_span_tokens"),
+        F.when(F.col("n_tokens") > 0,
+               F.coalesce("covered_tokens", z) / F.col("n_tokens"))
+        .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+    )

@@ -123,6 +123,63 @@ def stratified_sample(docs: DataFrame, strata_col: str = "source",
     return docs.where(band < rate)
 
 
+def cap_per_domain(docs: DataFrame, cap: int, domain_col: str = "source",
+                   id_col: str = "doc_id", seed: str = "c1",
+                   n_buckets: int = 32) -> DataFrame:
+    """Deterministic per-domain document cap: keep at most `cap` docs per
+    domain, chosen by seeded-hash order (id tie-break) so the keep set is
+    stable under repartitioning and appends until a domain EXCEEDS its cap
+    — the single-domain-dominance guard every web corpus build runs
+    (C4/mC4 cap per URL host; RefinedWeb per domain).
+
+    Returns every input doc annotated (annotate-don't-drop, the curation
+    stance): (id_col, domain, keep, rank_in_domain) with rank_in_domain
+    = -1 for dropped docs (the driver canon cannot sort NULL cells).
+
+    Scale design — exact top-`cap` per key WITHOUT a single-task window
+    over a hot domain: stage 1 ranks within (domain, hash-bucket) — a
+    10^9-doc domain splits across `n_buckets` independent window
+    partitions — and keeps each bucket's local top-`cap`; any global
+    top-`cap` row has bucket-rank <= its global rank <= cap, so stage 1
+    never loses a winner. Stage 2 re-ranks the <= n_buckets*cap survivors
+    per domain (a bounded partition at ANY corpus size); for surviving
+    rows the stage-2 rank EQUALS the global rank, because every row
+    hash-ordered above a global top-`cap` row is itself global top-`cap`
+    and therefore survived. Size `n_buckets` ~ executor parallelism /
+    expected hottest-domain share.
+    """
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    idc = F.col(id_col)
+    h = md5_hash60(F.concat(F.lit(seed + ":"), idc.cast("string")))
+    slim = docs.select(
+        idc, F.col(domain_col).alias("domain"), h.alias("_h")
+    ).withColumn("_b", F.pmod("_h", F.lit(n_buckets)))
+    w1 = Window.partitionBy("domain", "_b").orderBy("_h", id_col)
+    pre = (
+        slim.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+    )
+    w2 = Window.partitionBy("domain").orderBy("_h", id_col)
+    ranked = (
+        pre.withColumn("rank_in_domain", F.row_number().over(w2))
+        .filter(F.col("rank_in_domain") <= cap)
+        .select(id_col, "rank_in_domain")
+    )
+    return (
+        docs.select(idc, F.col(domain_col).alias("domain"))
+        .join(ranked, id_col, "left")
+        .select(
+            id_col, "domain",
+            F.col("rank_in_domain").isNotNull().alias("keep"),
+            F.coalesce("rank_in_domain", F.lit(-1)).cast("int")
+            .alias("rank_in_domain"),
+        )
+    )
+
+
 def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 64,
                    id_col: str = "doc_id", text_col: str = "text",
                    token_count_col: str | None = None,

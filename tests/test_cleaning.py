@@ -101,3 +101,150 @@ def test_gopher_zero_shuffle_plan(spark):
 
     df = spark.createDataFrame([(0, "some text")], ["doc_id", "text"])
     assert is_exchange_free(gopher_rules(df))
+
+
+# --- duplicate_spans (Lee et al. 2022 ExactSubstr) ---------------------------
+
+from entitylinking_spark.operators.cleaning import duplicate_spans  # noqa: E402
+
+
+def _spans_fixture(spark):
+    rows = [
+        (0, "p0 q0 r0 alpha beta gamma delta epsilon s0 t0"),
+        (1, "p1 alpha beta gamma delta epsilon q1"),
+        (2, "nothing here repeats at all today"),
+        (3, ""),
+        (4, "one two"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_duplicate_spans_stats(spark):
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(_spans_fixture(spark), n=3, min_count=2).collect()}
+    assert len(out) == 5  # every input doc reported, even gram-less ones
+    # doc 0: shared 5-token passage at token offsets 3..7 -> one span
+    r0 = out[0]
+    assert (r0["n_tokens"], r0["n_grams"]) == (10, 8)
+    assert (r0["n_spans"], r0["n_dup_grams"]) == (1, 3)
+    assert (r0["covered_tokens"], r0["max_span_tokens"]) == (5, 5)
+    assert r0["dup_token_frac"] == 0.5
+    # doc 1: same passage at offsets 1..5
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["covered_tokens"]) == (7, 5)
+    assert r1["n_spans"] == 1
+    # doc 2: no duplication
+    assert out[2]["n_spans"] == 0 and out[2]["dup_token_frac"] == 0.0
+    # docs 3/4: gram-less (empty / shorter than n) -> zeros, frac 0.0
+    for d in (3, 4):
+        assert out[d]["n_grams"] == 0 and out[d]["covered_tokens"] == 0
+        assert out[d]["dup_token_frac"] == 0.0
+    assert out[4]["n_tokens"] == 2
+
+
+def test_duplicate_spans_union_not_double_counted(spark):
+    """Two duplicated grams whose token intervals OVERLAP (positions 0 and
+    2 with n=3) must merge into ONE span of 5 tokens — a naive sum of
+    per-gram intervals would report 6 > n_tokens."""
+    rows = [
+        (0, "a b c d e"),            # "a b c"@0 and "c d e"@2 dup, "b c d"@1 not
+        (1, "x a b c y y c d e z"),  # supplies the other occurrences
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(docs, n=3, min_count=2).collect()}
+    r0 = out[0]
+    assert r0["n_dup_grams"] == 2
+    assert r0["n_spans"] == 1
+    assert r0["covered_tokens"] == 5  # union [0,3) u [2,5) = [0,5)
+    assert r0["dup_token_frac"] == 1.0
+
+
+def test_duplicate_spans_gap_splits(spark):
+    """Duplicated grams further apart than n tokens form separate spans."""
+    mid = "u0 u1 u2 u3"  # 4 unique tokens > n=3 gap
+    rows = [
+        (0, f"alpha beta gamma {mid} delta epsilon zeta"),
+        (1, f"alpha beta gamma v0 v1 v2 v3 delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(docs, n=3, min_count=2).collect()}
+    assert out[0]["n_spans"] == 2
+    assert out[0]["covered_tokens"] == 6
+    assert out[0]["max_span_tokens"] == 3
+
+
+def test_duplicate_spans_within_doc_counts(spark):
+    """A doc repeating its own passage crosses min_count alone — the
+    suffix-array semantics (total occurrences, not distinct docs)."""
+    rows = [(0, "alpha beta gamma x0 x1 x2 x3 alpha beta gamma"),
+            (1, "totally unrelated content words here")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           duplicate_spans(docs, n=3, min_count=2).collect()}
+    assert out[0]["n_spans"] == 2
+    assert out[0]["n_dup_grams"] == 2
+    assert out[0]["covered_tokens"] == 6
+    # mass-repetition: every gram duplicated -> one span covers the doc
+    rows2 = [(0, "m m m m m m"), (1, "other words")]
+    out2 = {r["doc_id"]: r for r in
+            duplicate_spans(spark.createDataFrame(rows2, ["doc_id", "text"]),
+                            n=3, min_count=2).collect()}
+    assert out2[0]["n_spans"] == 1
+    assert out2[0]["covered_tokens"] == 6
+    assert out2[0]["dup_token_frac"] == 1.0
+
+
+def test_duplicate_spans_emit_spans(spark):
+    spans = duplicate_spans(_spans_fixture(spark), n=3, min_count=2,
+                            emit="spans").collect()
+    by_doc = {(r["doc_id"]): r for r in spans}
+    assert len(spans) == 2
+    assert (by_doc[0]["span_start"], by_doc[0]["span_tokens"]) == (3, 5)
+    assert (by_doc[1]["span_start"], by_doc[1]["span_tokens"]) == (1, 5)
+    assert by_doc[0]["n_grams_in_span"] == 3
+
+
+def test_duplicate_spans_partitioning_invariant(spark):
+    docs = _spans_fixture(spark)
+    a = sorted(map(tuple, duplicate_spans(docs, n=3).collect()))
+    b = sorted(map(tuple,
+                   duplicate_spans(docs.repartition(7), n=3).collect()))
+    assert a == b
+
+
+def test_duplicate_spans_validation(spark):
+    docs = _spans_fixture(spark)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        duplicate_spans(docs, n=0)
+    with _pt.raises(ValueError):
+        duplicate_spans(docs, min_count=1)
+    with _pt.raises(ValueError):
+        duplicate_spans(docs, emit="cut")
+
+
+def test_duplicate_spans_kernel_parity(spark):
+    """arrow (positional siphash) and expr (xxhash64 gram strings) kernels
+    hash in different spaces but must make identical span decisions."""
+    import random
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    passage = "alpha beta gamma delta epsilon"
+    rows = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25)))
+        if i % 4 == 0:
+            body = f"{body} {passage} {body}"
+        rows.append((i, body))
+    rows += [(100, ""), (101, "x y")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for em in ("stats", "spans"):
+        a = sorted(map(tuple,
+                       duplicate_spans(docs, n=3, emit=em,
+                                       kernel="arrow").collect()))
+        e = sorted(map(tuple,
+                       duplicate_spans(docs, n=3, emit=em,
+                                       kernel="expr").collect()))
+        assert a == e, f"kernel divergence in emit={em}"

@@ -211,3 +211,73 @@ def test_packing_partitioning_invariant(corpus):
     one_part = sorted(map(tuple, pack_sequences(
         corpus.coalesce(1), budget=32, n_shards=4).collect()))
     assert base == shuffled == one_part
+
+
+# --- cap_per_domain ----------------------------------------------------------
+
+import hashlib
+
+from entitylinking_spark.operators.mixing import cap_per_domain
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _cap_fixture(spark, n=40, domains=("web", "web", "web", "wiki", "code")):
+    rows = [(i, domains[i % len(domains)]) for i in range(n)]
+    return spark.createDataFrame(rows, ["doc_id", "source"]), rows
+
+
+def test_cap_per_domain_matches_global_hash_order(spark):
+    docs, rows = _cap_fixture(spark)
+    cap = 5
+    out = cap_per_domain(docs, cap=cap, seed="c1", n_buckets=4).collect()
+    assert len(out) == len(rows)  # annotate, don't drop
+    # expected keep set: per domain, cap smallest (md5 hash, id) pairs
+    by_dom = {}
+    for i, d in rows:
+        by_dom.setdefault(d, []).append((_h60(f"c1:{i}"), i))
+    expected = {}
+    for d, hs in by_dom.items():
+        for rank, (_, i) in enumerate(sorted(hs)[:cap], start=1):
+            expected[i] = rank
+    for r in out:
+        if r["doc_id"] in expected:
+            assert r["keep"] is True
+            assert r["rank_in_domain"] == expected[r["doc_id"]]
+        else:
+            assert r["keep"] is False and r["rank_in_domain"] == -1
+
+
+def test_cap_per_domain_small_domains_keep_all(spark):
+    docs, rows = _cap_fixture(spark, n=9)
+    out = cap_per_domain(docs, cap=100).collect()
+    assert all(r["keep"] for r in out)
+
+
+def test_cap_per_domain_bucket_count_invariant(spark):
+    """The two-level top-K must equal the single-window reference for any
+    n_buckets (incl. 1 = the plain window)."""
+    docs, _ = _cap_fixture(spark, n=60)
+    ref = sorted(map(tuple, cap_per_domain(docs, cap=7, n_buckets=1).collect()))
+    for b in (2, 8, 64):
+        got = sorted(map(tuple,
+                         cap_per_domain(docs, cap=7, n_buckets=b).collect()))
+        assert got == ref, f"n_buckets={b} diverged"
+
+
+def test_cap_per_domain_partitioning_invariant(spark):
+    docs, _ = _cap_fixture(spark, n=50)
+    a = sorted(map(tuple, cap_per_domain(docs, cap=4).collect()))
+    b = sorted(map(tuple, cap_per_domain(docs.repartition(11), cap=4).collect()))
+    assert a == b
+
+
+def test_cap_per_domain_validation(spark):
+    docs, _ = _cap_fixture(spark, n=5)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cap_per_domain(docs, cap=0)
+    with _pt.raises(ValueError):
+        cap_per_domain(docs, cap=1, n_buckets=0)
