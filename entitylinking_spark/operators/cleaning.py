@@ -211,8 +211,10 @@ def duplicate_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
     the 2^-64 trade documented in decontam.py; the DuckDB oracle counts
     gram STRINGS and agrees exactly at test scale. Frequency is a COUNT
     WINDOW over the single positional-gram pass (the
-    remove_duplicated_lines discipline); gram-less docs ride along on an
-    own-id sentinel key.
+    remove_duplicated_lines discipline). Per-doc totals are CLOSED FORM
+    from the token count (n_grams = max(n_tokens - n + 1, 0)), so the
+    expensive gram pass runs exactly once — stats mode adds only a cheap
+    JVM-side tokenize projection joined to the span tail.
 
     kernel='arrow' (default): decontam's POSITIONAL siphash gram kernel —
     hashes in token order straight out of one Arrow pass, no gram strings
@@ -233,42 +235,20 @@ def duplicate_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
             make_pos_gram_hash_udf,
         )
 
-        gram_rows = docs.select(
+        g = docs.select(
             F.col(id_col),
-            F.size(tokenize(text_col)).alias("n_tokens"),
-            F.posexplode_outer(
-                make_pos_gram_hash_udf(n)(text_col)
-            ).alias("pos", "gh0"),
+            F.posexplode(make_pos_gram_hash_udf(n)(text_col))
+            .alias("pos", "gh"),
         )
     else:
-        gram_rows = docs.select(
+        g = docs.select(
             F.col(id_col),
-            F.size(tokenize(text_col)).alias("n_tokens"),
-            F.posexplode_outer(
-                ngram_tokens(text_col, n)
-            ).alias("pos", "gram"),
-        ).select(
-            id_col, "n_tokens", "pos",
-            # xxhash64(NULL) is NON-null (it hashes the seed): preserve
-            # the null so gram-less docs stay gram-less downstream
-            F.when(F.col("gram").isNotNull(), F.xxhash64("gram"))
-            .alias("gh0"),
-        )
-    g = gram_rows.select(
-        id_col, "n_tokens", "pos",
-        # explode_outer keeps gram-less docs as one null row (they still
-        # report zeros in stats mode); their window key is their own id
-        # hash — never counted, never a null-key hot spot
-        F.coalesce(F.col("gh0"), F.xxhash64(F.col(id_col))).alias("gh"),
-        F.col("gh0").isNotNull().alias("_has"),
-    )
+            F.posexplode(ngram_tokens(text_col, n)).alias("pos", "gram"),
+        ).select(id_col, "pos", F.xxhash64("gram").alias("gh"))
     w_cnt = Window.partitionBy("gh")
-    flagged = g.withColumn(
-        "_dup",
-        F.col("_has")
-        & (F.sum(F.col("_has").cast("long")).over(w_cnt) >= F.lit(min_count)),
+    dup = g.withColumn("_cnt", F.count("*").over(w_cnt)).filter(
+        F.col("_cnt") >= F.lit(min_count)
     )
-    dup = flagged.filter(F.col("_dup"))
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     gap = F.col("pos") - F.lag("pos").over(w_doc)
     runs = dup.withColumn(
@@ -288,12 +268,12 @@ def duplicate_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
         F.sum("span_tokens").alias("covered_tokens"),
         F.max("span_tokens").alias("max_span_tokens"),
     )
-    # per-doc totals from the SAME flagged pass (not a second tokenize
-    # scan of the corpus): every doc is present — gram-less ones as their
-    # sentinel row — so the left join below only back-fills span columns
-    doc_tot = flagged.groupBy(id_col).agg(
-        F.max("n_tokens").cast("long").alias("n_tokens"),
-        F.sum(F.col("_has").cast("long")).alias("n_grams"),
+    toks = tokenize(text_col)
+    doc_tot = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
+        .alias("n_grams"),
     )
     z = F.lit(0).cast("long")
     return doc_tot.join(per, id_col, "left").select(
