@@ -237,6 +237,29 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("gopher", gopher_run)
 
+    # exact duplicate-substring spans (Lee et al. ExactSubstr): one Arrow
+    # gram pass + two window shuffles + closed-form totals
+    def dup_spans_run():
+        from entitylinking_spark.operators.cleaning import duplicate_spans
+
+        return duplicate_spans(docs, n=5).agg(
+            F.sum("covered_tokens"), F.sum("n_spans")).collect()
+
+    timed("dup_spans", dup_spans_run)
+
+    # hashed linear quality classifier: explode -> broadcast weight dim ->
+    # one map-side-combined doc agg (the model-based-filter shape)
+    def quality_cls_run():
+        from entitylinking_spark.operators.classify import (
+            hashed_weights, score_documents,
+        )
+
+        w = hashed_weights(spark, 4096)
+        return score_documents(docs, w, 4096).agg(
+            F.sum(F.col("label").cast("long")), F.sum("w_sum")).collect()
+
+    timed("quality_cls", quality_cls_run)
+
     # --- media decode throughput (round-4 verdict #5) ---------------------
     # per-format MB/s through the mapInPandas decode path; PNG uses the
     # all-Paeth worst case so the number is the reconstruction floor.
