@@ -53,7 +53,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def remove_duplicated_lines(docs: DataFrame, min_docs: int = 3,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            sep: str = "\n") -> DataFrame:
     """(id, text) -> (id, text_clean, n_lines, n_dropped).
 
     A line is dropped from EVERY document when at least `min_docs`
@@ -63,12 +64,23 @@ def remove_duplicated_lines(docs: DataFrame, min_docs: int = 3,
     frequency is counted on xxhash64(line) — the 2^-64 trade documented
     in decontam.py; the DuckDB oracle counts line STRINGS and agrees
     exactly at test scale.
+
+    `sep` picks the dedup unit: '\\n' (default) is C4's line level;
+    '\\n\\n' is Dolma-style PARAGRAPH dedup — same plan, same rebuild,
+    units rejoined with the same separator. `sep` is treated literally
+    (regex-escaped before the split).
     """
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would drop every line)")
+    if not sep:
+        raise ValueError("sep must be a non-empty literal separator")
+    import re as _re
+
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("pos", "line"),
     ).select(
         id_col, "pos", "line",
         (F.length("line") > 0).alias("_counted"),
@@ -91,11 +103,12 @@ def remove_duplicated_lines(docs: DataFrame, min_docs: int = 3,
     flagged = lines.withColumn(
         "_drop", F.col("_counted") & (doc_freq >= F.lit(min_docs))
     )
+    sep_sql = sep.replace("\\", "\\\\").replace("'", "\\'")
     return flagged.groupBy(id_col).agg(
         F.expr(
             "array_join(transform(array_sort("
             "  collect_list(CASE WHEN NOT _drop THEN struct(pos, line) END)"
-            "), x -> x.line), '\n')"
+            f"), x -> x.line), '{sep_sql}')"
         ).alias("text_clean"),
         F.count("*").alias("n_lines"),
         F.sum(F.col("_drop").cast("long")).alias("n_dropped"),

@@ -83,3 +83,26 @@ def test_validation(spark):
         hashed_weights(spark, 0)
     with _pt.raises(ValueError):
         score_documents(docs, hashed_weights(spark, 4), 0)
+
+
+def test_classifier_caps_curation_composition(spark):
+    """The model-based filter, domain caps, and the curation funnel
+    compose: score -> cap survivors per source -> curate the kept set.
+    Verifies column contracts line up end to end (the pipeline a real
+    corpus build would run)."""
+    from entitylinking_spark.operators.mixing import cap_per_domain
+    from entitylinking_spark.plans.curation import CurationConfig, curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = hashed_weights(spark, N_BUCKETS)
+    scored = score_documents(docs, w, N_BUCKETS, threshold=-0.05)
+    kept_ids = scored.filter("label").select("doc_id")
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+    capped = cap_per_domain(kept, cap=10, domain_col="source")
+    surviving = kept.join(
+        capped.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    out = curate(surviving, None, CurationConfig())
+    n_in = surviving.count()
+    assert out.count() == n_in and n_in > 0
+    caps = capped.filter("keep").groupBy("domain").count().collect()
+    assert all(r["count"] <= 10 for r in caps)

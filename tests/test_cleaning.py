@@ -248,3 +248,28 @@ def test_duplicate_spans_kernel_parity(spark):
                        duplicate_spans(docs, n=3, emit=em,
                                        kernel="expr").collect()))
         assert a == e, f"kernel divergence in emit={em}"
+
+
+def test_paragraph_dedup_sep(spark):
+    """sep='\\n\\n' switches the dedup unit to paragraphs (Dolma-style):
+    a shared paragraph is dropped; lines INSIDE unique paragraphs are
+    untouched even when they repeat across docs."""
+    shared = "shared paragraph line a\nshared paragraph line b"
+    rows = [
+        (0, f"intro zero\n\n{shared}\n\noutro zero"),
+        (1, f"{shared}\n\nbody one"),
+        (2, f"intro two\n\n{shared}"),
+        (3, "repeat line\nrepeat line\n\nunique tail"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_lines(docs, min_docs=3, sep="\n\n").collect()}
+    assert out[0]["text_clean"] == "intro zero\n\noutro zero"
+    assert out[1]["text_clean"] == "body one"
+    assert out[2]["text_clean"] == "intro two"
+    assert out[0]["n_dropped"] == 1 and out[0]["n_lines"] == 3
+    # intra-paragraph repeated lines are invisible at paragraph level
+    assert out[3]["text_clean"] == rows[3][1]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        remove_duplicated_lines(docs, sep="")
