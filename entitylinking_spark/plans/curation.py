@@ -46,6 +46,19 @@ class CurationConfig:
         default_factory=lambda: {"train": 0.9, "val": 0.05, "test": 0.05}
     )
     split_seed: str = "v1"
+    # optional model-based quality stage (classify.score_documents over
+    # the SCRUBBED text): enabled when model_n_buckets > 0; weights=None
+    # uses the deterministic placeholder table (classify.hashed_weights)
+    model_n_buckets: int = 0
+    model_threshold: float = 0.0
+    model_seed: str = "q1"
+    # optional per-domain cap (mixing.cap_per_domain over the docs that
+    # pass every OTHER gate, so dropped docs never consume cap slots):
+    # enabled when domain_cap is not None; requires domain_col in docs
+    domain_cap: int | None = None
+    domain_col: str = "source"
+    cap_seed: str = "c1"
+    cap_buckets: int = 32
 
 
 def curate(docs: DataFrame, benchmark: DataFrame | None = None,
@@ -64,6 +77,21 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     `curate(...).filter("keep")`; the dropped remainder keeps its reasons
     for audit. With benchmark=None the contamination stage is skipped
     (contaminated = false, no benchmark jobs run).
+
+    Optional stages (both default-off; see CurationConfig):
+      * model_n_buckets > 0 adds the hashed linear quality classifier
+        over the scrubbed text — extra columns (model_score, model_pass)
+        and keep gains `AND model_pass`. The weight-dim join broadcasts;
+        the classifier agg is the only extra shuffle.
+      * domain_cap is not None adds per-domain caps — extra columns
+        (cap_keep, cap_rank) and keep gains `AND cap_keep`. Caps rank
+        ONLY the docs that pass every other gate, so dropped docs never
+        consume cap slots; docs failing earlier gates report
+        cap_keep=false, cap_rank=-1. Cost note: the cap input is a
+        second reference to the verdict subtree — Catalyst evaluates the
+        scan+window twice when caps are on; at corpus scale checkpoint
+        the curated frame first (or run caps as a separate pass) if that
+        matters.
     """
     cfg = config or CurationConfig()
     text = scrub_pii(text_col) if cfg.scrub else F.col(text_col)
@@ -94,15 +122,62 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     else:
         out = out.withColumn("contaminated", F.lit(False))
 
+    gate = (
+        F.col("lang").isin(*cfg.languages)
+        & (F.col("quality") >= F.lit(cfg.min_quality))
+        & ~F.col("is_duplicate")
+        & ~F.col("contaminated")
+    )
+
+    model_cols, funnel_extra = [], []
+    if cfg.model_n_buckets > 0:
+        from entitylinking_spark.operators.classify import (
+            hashed_weights, score_documents,
+        )
+
+        w = hashed_weights(docs.sparkSession, cfg.model_n_buckets,
+                           seed=cfg.model_seed)
+        scores = score_documents(
+            out.select(id_col, "text"), w, cfg.model_n_buckets,
+            id_col=id_col, threshold=cfg.model_threshold,
+        ).select(
+            id_col, F.col("score").alias("model_score"),
+            F.col("label").alias("model_pass"),
+        )
+        out = out.join(scores, id_col)
+        gate = gate & F.col("model_pass")
+        model_cols = ["model_score", "model_pass"]
+        funnel_extra.append(
+            F.sum((~F.col("model_pass")).cast("long")).alias("model_rejected")
+        )
+
+    cap_cols = []
+    if cfg.domain_cap is not None:
+        from entitylinking_spark.operators.mixing import cap_per_domain
+
+        # rank only the docs that pass every other gate: a doc dropped by
+        # an earlier stage must not consume one of its domain's slots
+        eligible = out.withColumn("_gate", gate).filter(F.col("_gate"))
+        capped = cap_per_domain(
+            eligible.join(docs.select(id_col, cfg.domain_col), id_col),
+            cap=cfg.domain_cap, domain_col=cfg.domain_col, id_col=id_col,
+            seed=cfg.cap_seed, n_buckets=cfg.cap_buckets,
+        ).select(
+            id_col, F.col("keep").alias("cap_keep"),
+            F.col("rank_in_domain").alias("cap_rank"),
+        )
+        out = out.join(capped, id_col, "left").withColumn(
+            "cap_keep", F.coalesce("cap_keep", F.lit(False))
+        ).withColumn("cap_rank", F.coalesce("cap_rank", F.lit(-1)))
+        gate = gate & F.col("cap_keep")
+        cap_cols = ["cap_keep", "cap_rank"]
+        funnel_extra.append(
+            F.sum((~F.col("cap_keep")).cast("long")).alias("cap_rejected")
+        )
+
     out = out.select(
         id_col, "text", "lang", "quality", "is_duplicate", "contaminated",
-        "split",
-        (
-            F.col("lang").isin(*cfg.languages)
-            & (F.col("quality") >= F.lit(cfg.min_quality))
-            & ~F.col("is_duplicate")
-            & ~F.col("contaminated")
-        ).alias("keep"),
+        "split", *model_cols, *cap_cols, gate.alias("keep"),
     )
 
     if metrics is not None:
@@ -112,6 +187,7 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
             F.sum((F.col("quality") < cfg.min_quality).cast("long")).alias("low_quality"),
             F.sum(F.col("is_duplicate").cast("long")).alias("duplicates"),
             F.sum(F.col("contaminated").cast("long")).alias("contaminated"),
+            *funnel_extra,
             F.sum(F.col("keep").cast("long")).alias("kept"),
         ).first()
         metrics.record("curation_funnel", **funnel.asDict())

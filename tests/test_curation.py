@@ -120,3 +120,59 @@ def test_scrub_off_keeps_raw_text(corpus):
     flags = {r["doc_id"]: r["is_duplicate"]
              for r in curate(docs, None, CurationConfig(scrub=False)).collect()}
     assert flags[10] and not flags[14]
+
+
+# --- optional model-filter and domain-cap stages -----------------------------
+
+def test_curate_model_and_cap_stages(spark):
+    """Extended funnel == manual composition: default curate gates, then
+    classifier labels, then caps over the surviving set."""
+    from entitylinking_spark.operators.classify import (
+        hashed_weights, score_documents,
+    )
+    from entitylinking_spark.operators.mixing import cap_per_domain
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = CurationConfig(model_n_buckets=64, model_threshold=-0.05,
+                         domain_cap=5)
+    out = curate(docs, None, cfg)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(out.columns) >= {"model_score", "model_pass",
+                                "cap_keep", "cap_rank", "keep"}
+
+    # manual composition on the same inputs
+    base = curate(docs, None, CurationConfig())
+    scored = score_documents(
+        base.select("doc_id", "text"),
+        hashed_weights(spark, 64), 64, threshold=-0.05)
+    lab = {r["doc_id"]: (r["label"], r["score"]) for r in scored.collect()}
+    base_keep = {r["doc_id"]: r["keep"] for r in base.collect()}
+    eligible_ids = [i for i in base_keep
+                    if base_keep[i] and lab[i][0]]
+    eligible = docs.filter(F.col("doc_id").isin(eligible_ids))
+    capped = {r["doc_id"]: (r["keep"], r["rank_in_domain"])
+              for r in cap_per_domain(eligible, cap=5).collect()}
+
+    for i, r in rows.items():
+        assert r["model_pass"] == lab[i][0]
+        assert r["model_score"] == lab[i][1]
+        expect_keep = base_keep[i] and lab[i][0] and capped.get(i, (False,))[0]
+        assert r["keep"] == expect_keep, f"doc {i}"
+        if i in capped and capped[i][0]:
+            assert r["cap_rank"] == capped[i][1]
+        else:
+            assert r["cap_keep"] is False and r["cap_rank"] == -1
+    # caps actually bind: no domain exceeds 5 kept docs
+    kept = out.filter("keep").groupBy().count().first()[0]
+    per_dom = (out.filter("keep")
+               .join(docs.select("doc_id", "source"), "doc_id")
+               .groupBy("source").count().collect())
+    assert kept > 0 and all(r["count"] <= 5 for r in per_dom)
+
+
+def test_curate_default_unchanged_by_new_config(spark):
+    """Default config keeps the original column set and verdicts."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate(docs, None, CurationConfig())
+    assert out.columns == ["doc_id", "text", "lang", "quality",
+                           "is_duplicate", "contaminated", "split", "keep"]

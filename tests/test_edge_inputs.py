@@ -104,3 +104,34 @@ def test_curate_empty(spark):
     out = curate(empty, benchmark=None)
     assert out.count() == 0
     assert "keep" in out.columns
+
+
+def test_duplicate_spans_empty_and_single(spark):
+    from entitylinking_spark.operators.cleaning import duplicate_spans
+
+    empty = spark.createDataFrame([], DOC_SCHEMA).select("doc_id", "text")
+    assert duplicate_spans(empty, n=3).count() == 0
+    assert duplicate_spans(empty, n=3, emit="spans").count() == 0
+    one = spark.createDataFrame([(1, "only one doc here")],
+                                ["doc_id", "text"])
+    rows = duplicate_spans(one, n=3).collect()
+    assert len(rows) == 1 and rows[0]["n_spans"] == 0
+
+
+def test_cap_per_domain_empty(spark):
+    from entitylinking_spark.operators.mixing import cap_per_domain
+
+    empty = spark.createDataFrame([], DOC_SCHEMA)
+    out = cap_per_domain(empty, cap=3)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "domain", "keep", "rank_in_domain"]
+
+
+def test_score_documents_empty(spark):
+    from entitylinking_spark.operators.classify import (
+        hashed_weights, score_documents,
+    )
+
+    empty = spark.createDataFrame([], DOC_SCHEMA).select("doc_id", "text")
+    out = score_documents(empty, hashed_weights(spark, 16), 16)
+    assert out.count() == 0
