@@ -1292,6 +1292,39 @@ FROM dt LEFT JOIN per USING (doc_id) ORDER BY doc_id
 """
 
 
+def nfc_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (cleaning.normalize_unicode): decomposed
+    accent sequences planted on every 4th doc (e + U+0301, A + U+0308)
+    must compose; DuckDB recomputes with nfc_normalize (both engines
+    implement UAX #15)."""
+    from entitylinking_spark.operators.cleaning import normalize_unicode
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"),
+                        F.lit(" cafe\u0301 A\u0308B na\u00efve")))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    return normalize_unicode(d, form="NFC").orderBy("doc_id")
+
+
+NFC_DOCS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0
+              THEN text || ' cafe' || chr(769) || ' A' || chr(776) ||
+                   'B na' || chr(239) || 've'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(text) AS text_norm,
+       (nfc_normalize(text) <> text) AS changed
+FROM d ORDER BY doc_id
+"""
+
+
 def domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (mixing.cap_per_domain, cap=30 over the 5
     `source` domains of ~100 docs each at sf0.01): the two-level top-K
@@ -2912,6 +2945,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "c4_line_dedup": (c4_line_dedup, C4_LINE_DEDUP_SQL),
     "gopher_docs": (gopher_docs, GOPHER_DOCS_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
+    "nfc_docs": (nfc_docs, NFC_DOCS_SQL),
     "domain_caps": (domain_caps, DOMAIN_CAPS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
 }

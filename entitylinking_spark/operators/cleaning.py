@@ -48,7 +48,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 
 def remove_duplicated_lines(docs: DataFrame, min_docs: int = 3,
@@ -195,6 +196,42 @@ def gopher_rules(docs: DataFrame, config: GopherConfig | None = None,
     for c in rules:
         passes = F.col(c) if passes is None else passes & F.col(c)
     return out.withColumn("passes_gopher", passes)
+
+
+def normalize_unicode(docs: DataFrame, form: str = "NFC",
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(id, text) -> (id, text_norm, changed): Unicode normalization —
+    the first pass of every multilingual corpus build (decomposed accents,
+    compatibility forms, mixed encodings of the same grapheme collapse to
+    one canonical byte sequence, so hashing/dedup/tokenizing see one
+    spelling). form is any of NFC/NFKC/NFD/NFKD (NFC default — the
+    C4/mC4 convention).
+
+    Scale: one Arrow pass (pandas str-level normalize), zero shuffles.
+    The `nfc_docs` driver oracle recomputes NFC with DuckDB's
+    nfc_normalize — Python unicodedata and DuckDB agree code point for
+    code point (both implement UAX #15).
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError("form must be one of NFC/NFKC/NFD/NFKD")
+
+    @F.pandas_udf(T.StringType())
+    def norm(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda s: None if s is None else unicodedata.normalize(form, s)
+        )
+
+    return docs.select(
+        F.col(id_col),
+        norm(F.col(text_col)).alias("text_norm"),
+        F.col(text_col).alias("_orig"),
+    ).select(
+        id_col, "text_norm",
+        (~F.col("text_norm").eqNullSafe(F.col("_orig"))).alias("changed"),
+    )
 
 
 def duplicate_spans(docs: DataFrame, n: int = 8, min_count: int = 2,

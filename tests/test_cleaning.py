@@ -273,3 +273,25 @@ def test_paragraph_dedup_sep(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         remove_duplicated_lines(docs, sep="")
+
+
+def test_normalize_unicode_forms(spark):
+    import unicodedata
+    from entitylinking_spark.operators.cleaning import normalize_unicode
+
+    decomposed = "café ÄB"       # e+combining acute, A+diaeresis
+    compat = "ﬁle ①"                # fi-ligature, circled one
+    rows = [(0, decomposed), (1, compat), (2, "plain ascii"), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r["doc_id"]: r for r in normalize_unicode(docs, "NFC").collect()}
+    assert nfc[0]["text_norm"] == unicodedata.normalize("NFC", decomposed)
+    assert nfc[0]["changed"] is True
+    assert nfc[1]["text_norm"] == compat          # NFC keeps compat chars
+    assert nfc[1]["changed"] is False
+    assert nfc[2]["changed"] is False
+    assert nfc[3]["text_norm"] is None and nfc[3]["changed"] is False
+    nfkc = {r["doc_id"]: r for r in normalize_unicode(docs, "NFKC").collect()}
+    assert nfkc[1]["text_norm"] == "file 1" and nfkc[1]["changed"] is True
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        normalize_unicode(docs, "NFX")
