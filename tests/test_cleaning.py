@@ -295,3 +295,20 @@ def test_normalize_unicode_forms(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         normalize_unicode(docs, "NFX")
+
+
+def test_duplicate_spans_mass_duplication(spark):
+    """A gram shared by hundreds of docs (license-header shape) lands its
+    occurrences in ONE count-window partition — results must stay exact
+    (the skew is a wall-clock concern, bounded by slim 3-column rows)."""
+    boiler = "this header is identical in every single file"
+    rows = [(i, f"u{i}a u{i}b {boiler} u{i}c") for i in range(300)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_spans(docs, n=3, min_count=2).collect()
+    assert len(out) == 300
+    # exactly the boilerplate grams are duplicated: every doc has one
+    # span covering the 8 shared tokens (unique context kills edge grams)
+    for r in out:
+        assert r["n_spans"] == 1
+        assert r["covered_tokens"] == 8
+        assert r["max_span_tokens"] == 8
