@@ -1353,6 +1353,43 @@ FROM r ORDER BY doc_id
 """
 
 
+def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantized embedding moments (embeddings.quantized_moment_sums,
+    first 8 dims): per-dim sums, upper-triangle cross sums, and the row
+    count over floor(x*4096) integers — every partial exact int64, so
+    DuckDB recomputes the sums bit-for-bit (the PCA-fit input)."""
+    from entitylinking_spark.operators.embeddings import (
+        quantized_moment_sums,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return quantized_moment_sums(e, max_dim=8).orderBy("i", "j")
+
+
+EMBEDDING_MOMENTS_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding[1:8],
+                        e -> CAST(floor(CAST(e AS DOUBLE) * 4096) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+g AS (
+  SELECT vec_id, unnest(qv) AS x,
+         unnest(range(0, len(qv))) AS i
+  FROM q
+)
+SELECT CAST(a.i AS INT) AS i, CAST(b.i AS INT) AS j, SUM(a.x * b.x) AS s
+FROM g a JOIN g b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+UNION ALL
+SELECT CAST(i AS INT), -1, SUM(x) FROM g GROUP BY 1
+UNION ALL
+SELECT -1, -1, count(*) FROM q
+ORDER BY i, j
+"""
+
+
 def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed linear quality classifier (classify.score_documents with the
     deterministic 256-bucket weight table): integer weight sums, the
@@ -2946,6 +2983,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "gopher_docs": (gopher_docs, GOPHER_DOCS_SQL),
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "nfc_docs": (nfc_docs, NFC_DOCS_SQL),
+    "embedding_moments": (embedding_moments, EMBEDDING_MOMENTS_SQL),
     "domain_caps": (domain_caps, DOMAIN_CAPS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
 }
