@@ -54,6 +54,21 @@ def main():
         F.col("l_shipdate") > "1995-01-01"
     ).select("l_orderkey", "l_quantity")
 
+    # round-5 curation/analytics representatives: one Arrow gram pass +
+    # shared doc-window exchange (spans), broadcast weight dim + single
+    # agg exchange (classifier), bucketed two-level top-K (caps)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    from entitylinking_spark.operators.classify import (
+        hashed_weights, score_documents,
+    )
+    from entitylinking_spark.operators.cleaning import duplicate_spans
+    from entitylinking_spark.operators.mixing import cap_per_domain
+
+    sections["DUP_SPANS"] = duplicate_spans(docs, n=5)
+    sections["QUALITY_CLS"] = score_documents(
+        docs, hashed_weights(spark, 256), 256)
+    sections["DOMAIN_CAPS"] = cap_per_domain(docs, cap=30)
+
     for name, d in sections.items():
         print(f"\n{'='*20} {name} {'='*20}")
         d.explain(mode="formatted")
