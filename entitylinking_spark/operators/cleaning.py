@@ -336,3 +336,55 @@ def duplicate_spans(docs: DataFrame, n: int = 8, min_count: int = 2,
                F.coalesce("covered_tokens", z) / F.col("n_tokens"))
         .otherwise(F.lit(0.0)).alias("dup_token_frac"),
     )
+
+
+def apply_span_cuts(docs: DataFrame, spans: DataFrame,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Apply duplicate_spans(emit='spans') cuts: rebuild each document's
+    text with the spanned token ranges REMOVED (the Lee et al. 2022
+    dedup step itself; duplicate_spans finds, this cuts).
+
+    Returns (id, text_cut, n_tokens_removed) for EVERY input doc —
+    span-less docs pass through with 0 removed. The rebuild is
+    token-level (single spaces): the same lossy-whitespace trade the
+    reference's normalization passes make
+    (/root/reference/OneNet/data_process.py:137-239); cut docs were
+    heading for a tokenizer anyway. Run with the SAME n/min_count/kernel
+    the spans were generated with.
+
+    Plan: spans are corpus-tail-sized (docs with duplication only); the
+    anti-coverage filter is one explode of each cut doc's tokens joined
+    to its spans — per-task memory bounded by spans-per-doc, one shuffle
+    keyed by doc id.
+    """
+    from entitylinking_spark.operators.textstats import tokenize
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(tokenize(text_col)).alias("tpos", "tok"),
+    )
+    per_doc_spans = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_tokens")).alias("_spans")
+    )
+    joined = toks.join(per_doc_spans, id_col, "left")
+    covered = F.exists(
+        F.coalesce(F.col("_spans"),
+                   F.array().cast(
+                       "array<struct<span_start:int,span_tokens:bigint>>")),
+        lambda s: (F.col("tpos") >= s["span_start"])
+        & (F.col("tpos") < s["span_start"] + s["span_tokens"]),
+    )
+    flagged = joined.select(
+        id_col, "tpos", "tok",
+        (F.col("tok").isNotNull() & covered).alias("_cut"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.expr(
+            "array_join(transform(array_sort("
+            "  collect_list(CASE WHEN tok IS NOT NULL AND NOT _cut "
+            "               THEN struct(tpos, tok) END)"
+            "), x -> x.tok), ' ')"
+        ).alias("text_cut"),
+        F.sum(F.col("_cut").cast("long")).alias("n_tokens_removed"),
+    )

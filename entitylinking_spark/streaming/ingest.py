@@ -189,11 +189,24 @@ def stream_curate(
     Returns (query, holder); holder["n_batches"] counts folded batches.
     Curated rows land under `{output_dir}/curated` (one verdict row per
     doc, append-only); seen shas under `{output_dir}/_seen_sha`.
+
+    The optional model-classifier stage (config.model_n_buckets) is
+    stateless and streams unchanged; config.domain_cap is REJECTED here —
+    a global rank applied per micro-batch would multiply the cap by the
+    batch count (run caps as a batch pass over the drained output).
     """
     import os
 
     from entitylinking_spark.plans.curation import curate
 
+    if config is not None and getattr(config, "domain_cap", None) is not None:
+        raise ValueError(
+            "domain_cap is a GLOBAL rank over the corpus; applied per "
+            "micro-batch it would keep cap docs per domain PER BATCH. "
+            "Run cap_per_domain as a batch pass over the drained curated "
+            "table instead (the model-classifier stage is stateless and "
+            "streams fine)."
+        )
     holder = state_holder if state_holder is not None else {}
     out_dir = os.path.join(output_dir, "curated")
     seen_dir = os.path.join(output_dir, "_seen_sha")

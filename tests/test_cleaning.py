@@ -312,3 +312,26 @@ def test_duplicate_spans_mass_duplication(spark):
         assert r["n_spans"] == 1
         assert r["covered_tokens"] == 8
         assert r["max_span_tokens"] == 8
+
+
+def test_apply_span_cuts(spark):
+    from entitylinking_spark.operators.cleaning import apply_span_cuts
+
+    docs = _spans_fixture(spark)
+    spans = duplicate_spans(docs, n=3, min_count=2, emit="spans")
+    out = {r["doc_id"]: r for r in apply_span_cuts(docs, spans).collect()}
+    assert len(out) == 5
+    assert out[0]["text_cut"] == "p0 q0 r0 s0 t0"
+    assert out[0]["n_tokens_removed"] == 5
+    assert out[1]["text_cut"] == "p1 q1"
+    assert out[2]["text_cut"] == "nothing here repeats at all today"
+    assert out[2]["n_tokens_removed"] == 0
+    assert out[3]["text_cut"] == "" and out[3]["n_tokens_removed"] == 0
+    assert out[4]["text_cut"] == "one two"
+    # idempotence: re-finding spans on the cut text finds nothing new for
+    # the planted passage (it is gone everywhere)
+    cut_docs = spark.createDataFrame(
+        [(k, v["text_cut"]) for k, v in out.items()], ["doc_id", "text"])
+    again = duplicate_spans(cut_docs, n=3, min_count=2).agg(
+        F.sum("n_dup_grams")).first()[0]
+    assert again == 0

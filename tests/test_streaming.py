@@ -154,3 +154,16 @@ def test_stream_curate_equals_batch(spark, tmp_path):
     assert flags[16] is False and flags[17]               # within-batch
     cont = {r[0]: r[4] for r in got}
     assert cont[3]                                        # planted leak
+
+
+def test_stream_curate_rejects_domain_cap(spark, tmp_path):
+    from entitylinking_spark.plans.curation import CurationConfig
+    from entitylinking_spark.streaming.ingest import stream_curate
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="domain_cap"):
+        stream_curate(
+            spark, str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"), "doc_id long, text string",
+            config=CurationConfig(domain_cap=5),
+        )
