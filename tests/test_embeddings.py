@@ -85,3 +85,21 @@ def test_pca_validation(spark, emb):
     empty = emb.filter("vec_id < 0")
     with pytest.raises(ValueError):
         pca_fit(empty, k=2)
+
+
+def test_pca_feeds_ann(spark, emb):
+    """Projected vectors drop straight into the similarity operators
+    (the conditioning-then-index pipeline): brute-force top-k over the
+    PCA space runs and is self-consistent (each vector's own projection
+    is its rank-1 neighbor)."""
+    from entitylinking_spark.operators.similarity import brute_force_topk
+
+    mean, comps, vals = pca_fit(emb, k=8)
+    proj = pca_project(emb, mean, comps).select(
+        "vec_id", F.col("proj").alias("embedding"))
+    q = proj.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_force_topk(proj, q, k=3)
+    r1 = {r["query_id"]: r["vec_id"]
+          for r in top.filter("rank = 1").collect()}
+    assert r1 == {i: i for i in range(5)}
