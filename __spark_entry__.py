@@ -1353,6 +1353,48 @@ FROM r ORDER BY doc_id
 """
 
 
+def budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy data selection under a global token budget
+    (mixing.select_under_token_budget, budget=20000, bins=16,
+    max_boundary=50 so the histogram-quickselect recursion is exercised,
+    not just the final window): keep flags must equal DuckDB's
+    single-window cumulative sum over (quality DESC, doc_id). Quality is
+    the seeded md5 band (exact double division both sides); tokens are
+    the shared tokenizer count."""
+    from entitylinking_spark.operators.mixing import (
+        sample_hash, select_under_token_budget,
+    )
+    from entitylinking_spark.operators.textstats import tokenize
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        sample_hash("doc_id", "qb").alias("quality"),
+        F.size(tokenize("text")).cast("long").alias("n_tokens"),
+    )
+    out = select_under_token_budget(
+        d, 20_000, bins=16, max_boundary=50, max_rounds=8)
+    return out.select("doc_id", "quality", "tokens", "keep").orderBy("doc_id")
+
+
+BUDGET_SELECT_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST({_H60_SQL.format(x="'qb:' || CAST(doc_id AS VARCHAR)")}
+              AS DOUBLE) / 1152921504606846976 AS quality,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, quality, tokens,
+         sum(tokens) OVER (ORDER BY quality DESC, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, quality, tokens, (cum <= 20000) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
 def embedding_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact quantized embedding moments (embeddings.quantized_moment_sums,
     first 8 dims): per-dim sums, upper-triangle cross sums, and the row
@@ -2984,6 +3026,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "dup_spans": (dup_spans, DUP_SPANS_SQL),
     "nfc_docs": (nfc_docs, NFC_DOCS_SQL),
     "embedding_moments": (embedding_moments, EMBEDDING_MOMENTS_SQL),
+    "budget_select": (budget_select, BUDGET_SELECT_SQL),
     "domain_caps": (domain_caps, DOMAIN_CAPS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
 }

@@ -245,6 +245,124 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 64,
     )
 
 
+def select_under_token_budget(docs: DataFrame, token_budget: int,
+                              quality_col: str = "quality",
+                              token_col: str | None = "n_tokens",
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              bins: int = 4096,
+                              max_boundary: int = 1_000_000,
+                              max_rounds: int = 8) -> DataFrame:
+    """Greedy data selection under a global token budget: keep documents
+    in (quality DESC, id ASC) order while the running token total stays
+    <= token_budget (the DCLM/FineWeb 'best data until the budget' rule).
+    A doc is kept iff the cumulative token count INCLUDING it fits.
+
+    Returns every input doc annotated: (id_col, quality, tokens, keep).
+
+    Scale design — EXACT greedy selection with NO global sort: the naive
+    plan is a single-reducer cumulative-sum window over the whole corpus.
+    Instead, a driver-side histogram quickselect narrows the cut:
+
+      each round histograms the current boundary set into `bins` quality
+      buckets (ONE map-side-combined agg job), walks buckets from high
+      quality down until the remaining budget lands inside one bucket —
+      buckets above are kept wholesale, below dropped wholesale — and
+      recurses into the boundary bucket only. The boundary shrinks
+      ~bins x per round (10^12 docs -> 3 rounds to <10^5), after which
+      one ordinary window ranks the <= max_boundary survivors exactly.
+
+    Bucket membership is recomputed from the SAME floor expression each
+    round (never from float bucket edges), so the wholesale keep/drop
+    sets and the recursion filter partition the corpus exactly. Ties:
+    a boundary set of IDENTICAL quality values cannot be split by
+    histogram; it falls through to the final window ordered (quality
+    DESC, id ASC) — adversarially many exact ties at the cut line bound
+    that window's partition at the tie count (slim rows; raise
+    max_boundary if a corpus genuinely has >10^6 boundary ties).
+
+    token_col=None counts tokens with the shared tokenizer.
+    """
+    if token_budget < 0:
+        raise ValueError("token_budget must be >= 0")
+    if bins < 2 or max_boundary < 1 or max_rounds < 1:
+        raise ValueError("bins >= 2, max_boundary >= 1, max_rounds >= 1")
+    from entitylinking_spark.operators.textstats import tokenize
+
+    ntok = (
+        F.col(token_col).cast("long") if token_col
+        else F.size(tokenize(text_col)).cast("long")
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.col(quality_col).cast("double").alias("q"),
+        ntok.alias("tokens"),
+    )
+    total = base.agg(F.sum("tokens")).first()[0]
+    if total is None or total <= token_budget:
+        return base.select(
+            id_col, F.col("q").alias("quality"), "tokens",
+            F.lit(total is not None).alias("keep"),
+        )
+
+    # driver histogram loop: narrow `boundary` to <= max_boundary rows.
+    # Buckets strictly above the cut bucket are kept WHOLESALE (their
+    # slim id frames accumulate in `kept_parts`); the loop recurses into
+    # the cut bucket only. Each round costs two agg jobs over an
+    # ~bins-times-smaller frame.
+    remaining = int(token_budget)
+    kept_parts: list[DataFrame] = []
+    boundary = base
+    for _ in range(max_rounds):
+        st = boundary.agg(F.min("q"), F.max("q"), F.count("*")).first()
+        qmin, qmax, cnt = st[0], st[1], st[2]
+        if cnt <= max_boundary or qmin == qmax:
+            break
+        span = qmax - qmin
+        bucket = F.least(
+            F.floor((F.col("q") - F.lit(qmin)) / F.lit(span) * bins)
+            .cast("int"),
+            F.lit(bins - 1),
+        )
+        hist = {
+            r["_b"]: r["t"]
+            for r in boundary.groupBy(bucket.alias("_b"))
+            .agg(F.sum("tokens").alias("t"))
+            .collect()
+        }
+        b_star = min(hist)
+        for b in sorted(hist, reverse=True):
+            if hist[b] <= remaining:
+                remaining -= hist[b]
+                continue
+            b_star = b
+            break
+        # bucket membership recomputed from the SAME floor expression —
+        # exact partition of `boundary`, no float-edge drift
+        kept_parts.append(
+            boundary.filter(bucket > F.lit(b_star)).select(id_col)
+        )
+        boundary = boundary.filter(bucket == F.lit(b_star))
+
+    # exact greedy rank over the (now-small) boundary set
+    w = (
+        Window.orderBy(F.col("q").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = boundary.withColumn("_cum", F.sum("tokens").over(w))
+    all_keep = ranked.filter(F.col("_cum") <= remaining).select(id_col)
+    for part in kept_parts:
+        all_keep = all_keep.unionByName(part)
+    flagged = all_keep.withColumn("_k", F.lit(True))
+    return (
+        base.join(flagged, id_col, "left")
+        .select(
+            id_col, F.col("q").alias("quality"), "tokens",
+            F.coalesce(F.col("_k"), F.lit(False)).alias("keep"),
+        )
+    )
+
+
 def duplicated_ngram_stats(docs: DataFrame, n: int = 8, min_docs: int = 2,
                            id_col: str = "doc_id",
                            text_col: str = "text",

@@ -281,3 +281,60 @@ def test_cap_per_domain_validation(spark):
         cap_per_domain(docs, cap=0)
     with _pt.raises(ValueError):
         cap_per_domain(docs, cap=1, n_buckets=0)
+
+
+# --- select_under_token_budget ----------------------------------------------
+
+from entitylinking_spark.operators.mixing import select_under_token_budget
+
+
+def _budget_fixture(spark, n=200, seed=3):
+    import random
+    rng = random.Random(seed)
+    rows = [(i, rng.random(), rng.randint(1, 50)) for i in range(n)]
+    # plant exact quality ties crossing the cut line
+    rows += [(n + j, 0.5, 10) for j in range(8)]
+    return spark.createDataFrame(rows, ["doc_id", "quality", "n_tokens"]), rows
+
+
+def _greedy_reference(rows, budget):
+    keep, cum = set(), 0
+    for i, q, t in sorted(rows, key=lambda r: (-r[1], r[0])):
+        if cum + t <= budget:
+            keep.add(i)
+        cum += t
+    return keep
+
+
+def test_budget_selection_matches_greedy(spark):
+    docs, rows = _budget_fixture(spark)
+    total = sum(t for _, _, t in rows)
+    for budget in (0, 37, total // 3, total // 2, total - 1, total + 5):
+        out = {r["doc_id"]: r["keep"]
+               for r in select_under_token_budget(
+                   docs, budget, bins=8, max_boundary=20).collect()}
+        expect = _greedy_reference(rows, budget)
+        got = {i for i, k in out.items() if k}
+        assert got == expect, f"budget={budget}"
+        assert len(out) == len(rows)  # annotate, don't drop
+
+
+def test_budget_selection_recursion_matches_single_window(spark):
+    """Tiny bins force several recursion rounds; the result must equal
+    the max_boundary=huge path (pure single window)."""
+    docs, rows = _budget_fixture(spark, n=300, seed=9)
+    budget = sum(t for _, _, t in rows) // 4
+    a = sorted(map(tuple, select_under_token_budget(
+        docs, budget, bins=4, max_boundary=10, max_rounds=12).collect()))
+    b = sorted(map(tuple, select_under_token_budget(
+        docs, budget, max_boundary=10**9).collect()))
+    assert a == b
+
+
+def test_budget_selection_validation(spark):
+    docs, _ = _budget_fixture(spark, n=5)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        select_under_token_budget(docs, -1)
+    with _pt.raises(ValueError):
+        select_under_token_budget(docs, 10, bins=1)
