@@ -1353,6 +1353,38 @@ FROM r ORDER BY doc_id
 """
 
 
+def cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based cluster representatives (dedup.cluster_representatives,
+    policy = LONGEST doc, ties min id): clusters are a synthetic
+    doc_id % 37 grouping — the operator is cluster-source-agnostic — and
+    DuckDB picks each group's rep with a row_number window over
+    (n_chars DESC, doc_id)."""
+    from entitylinking_spark.operators.dedup import cluster_representatives
+
+    d = _t(spark, sf_dir, "documents")
+    assign = d.select("doc_id", (F.col("doc_id") % 37).alias("cluster_id"))
+    return cluster_representatives(
+        assign, d.select("doc_id", "n_chars"), "n_chars"
+    ).orderBy("doc_id")
+
+
+CLUSTER_REPS_SQL = """
+WITH a AS (
+  SELECT doc_id, doc_id % 37 AS cluster_id, n_chars FROM documents
+),
+r AS (
+  SELECT cluster_id, doc_id AS rep_id,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM a
+)
+SELECT a.doc_id, a.cluster_id, r.rep_id,
+       (a.doc_id = r.rep_id) AS is_rep
+FROM a JOIN r ON a.cluster_id = r.cluster_id AND r.rk = 1
+ORDER BY a.doc_id
+"""
+
+
 def budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy data selection under a global token budget
     (mixing.select_under_token_budget, budget=20000, bins=16,
@@ -3027,6 +3059,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "nfc_docs": (nfc_docs, NFC_DOCS_SQL),
     "embedding_moments": (embedding_moments, EMBEDDING_MOMENTS_SQL),
     "budget_select": (budget_select, BUDGET_SELECT_SQL),
+    "cluster_reps": (cluster_reps, CLUSTER_REPS_SQL),
     "domain_caps": (domain_caps, DOMAIN_CAPS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
 }

@@ -133,6 +133,40 @@ def dedup_minhash_lsh(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     return out
 
 
+def cluster_representatives(assign: DataFrame, features: DataFrame,
+                            policy_col: str, id_col: str = "doc_id",
+                            cluster_col: str = "cluster_id",
+                            ascending: bool = False) -> DataFrame:
+    """Pick each cluster's representative by a POLICY column instead of
+    the min-id default every dedup operator uses: production pipelines
+    keep the BEST copy of a duplicate group (longest text, highest
+    quality score, newest crawl), not the smallest id.
+
+    assign: (id_col, cluster_col) from any dedup/CC operator;
+    features: (id_col, policy_col) — e.g. documents with n_chars.
+    Returns assign + (rep_id, is_rep): rep = argmax(policy) per cluster
+    (argmin when ascending=True), ties broken by MIN id — fully
+    deterministic.
+
+    Scale: the argmax is ONE struct-min aggregation (map-side combined,
+    skew-safe at any cluster size — a 10^8-member cluster never sits in
+    one window partition), plus the clusters-sized rep join back.
+    """
+    sign = 1.0 if ascending else -1.0
+    key = F.struct(
+        (F.col(policy_col).cast("double") * sign).alias("k"),
+        F.col(id_col).alias("i"),
+    )
+    j = assign.join(features.select(id_col, policy_col), id_col)
+    reps = j.groupBy(cluster_col).agg(F.min(key).alias("_m")).select(
+        cluster_col, F.col("_m.i").alias("rep_id")
+    )
+    return assign.join(reps, cluster_col).select(
+        id_col, cluster_col, "rep_id",
+        (F.col(id_col) == F.col("rep_id")).alias("is_rep"),
+    )
+
+
 def dedup_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                   radius: int = 3, fingerprints: DataFrame | None = None,
                   bits: int = 64) -> DataFrame:

@@ -238,3 +238,23 @@ def test_brute_force_multiple_queries(spark):
     out = brute_force_topk(emb, q, k=1).collect()
     best = {r["query_id"]: r["vec_id"] for r in out}
     assert best == {0: 1, 1: 3}
+
+
+def test_cluster_representatives_policies(spark):
+    from entitylinking_spark.operators.dedup import cluster_representatives
+
+    assign = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, "b"), (6, "c")],
+        ["doc_id", "cluster_id"])
+    feats = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 30.0), (4, 5.0), (5, 2.0), (6, 7.0)],
+        ["doc_id", "quality"])
+    best = {r["doc_id"]: r for r in cluster_representatives(
+        assign, feats, "quality").collect()}
+    assert best[1]["rep_id"] == 2          # max quality, tie -> min id
+    assert best[2]["is_rep"] and not best[3]["is_rep"]
+    assert best[4]["rep_id"] == 4
+    assert best[6]["is_rep"]               # singleton is its own rep
+    worst = {r["doc_id"]: r["rep_id"] for r in cluster_representatives(
+        assign, feats, "quality", ascending=True).collect()}
+    assert worst[1] == 1 and worst[4] == 5
