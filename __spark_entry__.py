@@ -1353,6 +1353,58 @@ FROM r ORDER BY doc_id
 """
 
 
+def snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (cleaning.snapshot_diff): the 'new' snapshot
+    drops every 11th doc (removed), appends 20 fresh ids (added), and
+    edits every 13th doc's text (changed); everything else must report
+    unchanged, with both engines hashing the same sha256."""
+    from entitylinking_spark.operators.cleaning import snapshot_diff
+
+    d = _t(spark, sf_dir, "documents")
+    old = d.select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.concat(F.col("text"), F.lit(" [edited]")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            # orderBy before limit: a bare LIMIT is partition-order-
+            # dependent; the SQL twin also orders
+            d.orderBy("doc_id").limit(20).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                F.lit("brand new doc").alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(old, new).orderBy("doc_id")
+
+
+SNAPSHOT_DELTA_SQL = """
+WITH old AS (SELECT doc_id, sha256(text) AS s FROM documents),
+new AS (
+  SELECT doc_id,
+         sha256(CASE WHEN doc_id % 13 = 0 THEN text || ' [edited]'
+                     ELSE text END) AS s
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, sha256('brand new doc')
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.s IS NULL THEN 'added'
+            WHEN new.s IS NULL THEN 'removed'
+            WHEN old.s = new.s THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COALESCE(old.s, '') AS old_sha,
+       COALESCE(new.s, '') AS new_sha
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+ORDER BY doc_id
+"""
+
+
 def cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy-based cluster representatives (dedup.cluster_representatives,
     policy = LONGEST doc, ties min id): clusters are a synthetic
@@ -3060,6 +3112,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "embedding_moments": (embedding_moments, EMBEDDING_MOMENTS_SQL),
     "budget_select": (budget_select, BUDGET_SELECT_SQL),
     "cluster_reps": (cluster_reps, CLUSTER_REPS_SQL),
+    "snapshot_delta": (snapshot_delta, SNAPSHOT_DELTA_SQL),
     "domain_caps": (domain_caps, DOMAIN_CAPS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
 }

@@ -198,6 +198,43 @@ def gopher_rules(docs: DataFrame, config: GopherConfig | None = None,
     return out.withColumn("passes_gopher", passes)
 
 
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Diff two corpus snapshots by content hash: one row per doc id seen
+    in either snapshot with status in {added, removed, changed,
+    unchanged} — the monitoring pass between crawls/ingests that decides
+    what incremental work (re-embed, re-dedup, re-curate) a new snapshot
+    actually requires.
+
+    Returns (id_col, status, old_sha, new_sha); absent-side sha is ''
+    (the driver canon cannot sort NULL cells).
+
+    Scale: each side is one projection to (id, sha256) — 40 B/row — and
+    the diff is a single full-outer hash join on the id; no text ever
+    shuffles. Reference analogue: the reference re-processes corpora
+    from scratch per run (/root/reference/OneNet/data_process.py:137-239);
+    this is the change-detection pass that makes incremental runs
+    possible.
+    """
+    sha = F.sha2(F.col(text_col).cast("string"), 256)
+    o = old.select(F.col(id_col), sha.alias("old_sha"))
+    n = new.select(F.col(id_col), sha.alias("new_sha"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_sha").isNull(), F.lit("added"))
+        .when(F.col("new_sha").isNull(), F.lit("removed"))
+        .when(F.col("old_sha") == F.col("new_sha"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        id_col,
+        status.alias("status"),
+        F.coalesce("old_sha", F.lit("")).alias("old_sha"),
+        F.coalesce("new_sha", F.lit("")).alias("new_sha"),
+    )
+
+
 def normalize_unicode(docs: DataFrame, form: str = "NFC",
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:

@@ -335,3 +335,21 @@ def test_apply_span_cuts(spark):
     again = duplicate_spans(cut_docs, n=3, min_count=2).agg(
         F.sum("n_dup_grams")).first()[0]
     assert again == 0
+
+
+def test_snapshot_diff(spark):
+    from entitylinking_spark.operators.cleaning import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "has changed"), (4, "fresh")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in snapshot_diff(old, new).collect()}
+    assert len(out) == 4
+    assert out[1]["status"] == "unchanged"
+    assert out[2]["status"] == "changed"
+    assert out[3]["status"] == "removed" and out[3]["new_sha"] == ""
+    assert out[4]["status"] == "added" and out[4]["old_sha"] == ""
+    assert out[1]["old_sha"] == out[1]["new_sha"] != ""
