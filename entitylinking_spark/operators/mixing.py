@@ -298,8 +298,16 @@ def select_under_token_budget(docs: DataFrame, token_budget: int,
         F.col(quality_col).cast("double").alias("q"),
         ntok.alias("tokens"),
     )
+    # persist the slim (id, q, tokens) frame for the driver loop: every
+    # round's two aggs, each kept part, and the boundary window would
+    # otherwise re-derive it from the source (rounds x full scans when
+    # token_col=None re-tokenizes). Unpersisted before return — the keep
+    # set is eagerly materialized first, so nothing lazy still points at
+    # the cache (the round-1-verdict leak discipline).
+    base = base.persist()
     total = base.agg(F.sum("tokens")).first()[0]
     if total is None or total <= token_budget:
+        base.unpersist()  # everything fits: no loop, nothing to reuse
         return base.select(
             id_col, F.col("q").alias("quality"), "tokens",
             F.lit(total is not None).alias("keep"),
@@ -353,14 +361,20 @@ def select_under_token_budget(docs: DataFrame, token_budget: int,
     all_keep = ranked.filter(F.col("_cum") <= remaining).select(id_col)
     for part in kept_parts:
         all_keep = all_keep.unionByName(part)
-    flagged = all_keep.withColumn("_k", F.lit(True))
-    return (
-        base.join(flagged, id_col, "left")
-        .select(
-            id_col, F.col("q").alias("quality"), "tokens",
-            F.coalesce(F.col("_k"), F.lit(False)).alias("keep"),
-        )
+    # materialize the slim keep-id set (O(kept) id-only rows) so the
+    # persisted base can be released before returning the lazy result
+    flagged = (
+        all_keep.withColumn("_k", F.lit(True)).localCheckpoint(eager=True)
     )
+    # the returned join stays LAZY: after unpersist it recomputes the
+    # slim base projection ONCE from the source at execution — cheaper
+    # than checkpointing the O(corpus) annotated output here
+    out = base.join(flagged, id_col, "left").select(
+        id_col, F.col("q").alias("quality"), "tokens",
+        F.coalesce(F.col("_k"), F.lit(False)).alias("keep"),
+    )
+    base.unpersist()
+    return out
 
 
 def duplicated_ngram_stats(docs: DataFrame, n: int = 8, min_docs: int = 2,
