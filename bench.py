@@ -260,6 +260,22 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("quality_cls", quality_cls_run)
 
+    # token-budget selection: the histogram-quickselect driver loop
+    # (small max_boundary forces the recursion rounds, not just a window)
+    def budget_run():
+        from entitylinking_spark.operators.mixing import (
+            select_under_token_budget,
+        )
+
+        d = docs.withColumn("n_tokens", F.length("text"))
+        total = d.agg(F.sum("n_tokens")).first()[0]
+        return select_under_token_budget(
+            d, int(total) // 2, quality_col="n_chars",
+            bins=64, max_boundary=100,
+        ).agg(F.sum(F.col("keep").cast("long"))).collect()
+
+    timed("budget_select", budget_run)
+
     # --- media decode throughput (round-4 verdict #5) ---------------------
     # per-format MB/s through the mapInPandas decode path; PNG uses the
     # all-Paeth worst case so the number is the reconstruction floor.
