@@ -1869,6 +1869,89 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py::semdedup, Abbas et al. 2023): k-means
+    cells (16 seeded centroids, the ivf_topk_probe init so DuckDB can
+    recompute them), within-cell cosine edges >= 0.38 (nearest value
+    >= 1.0e-3 away at sf0.001/sf0.01 — beyond cross-engine double noise),
+    transitive closure, and the paper's keep-farthest-from-centroid
+    representative. cdist is exact integer arithmetic; cluster labels are
+    re-emitted as each component's min NUMERIC member id (the operator's
+    internal label is the min STRING id, engine-order-dependent)."""
+    from entitylinking_spark.operators.dedup import semdedup
+    from entitylinking_spark.operators.ivf import seed_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    cents = seed_centroids(emb, 16)
+    out = semdedup(emb, eps=0.38, centroids=cents, keep="far")
+    relabel = out.groupBy("cluster_id").agg(
+        F.min(F.col("row_id").cast("long")).alias("cluster_num")
+    )
+    return (
+        out.join(relabel, "cluster_id")
+        .select(
+            F.col("row_id").cast("long").alias("vec_id"),
+            "cell", "cdist",
+            F.col("cluster_num").alias("cluster_id"),
+            F.col("rep_id").cast("long").alias("rep_id"),
+            "is_kept",
+        )
+        .orderBy("vec_id")
+    )
+
+
+SEMDEDUP_SQL = """
+WITH RECURSIVE qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 4096.0)) AS qvec,
+         CAST(embedding AS DOUBLE[]) AS dvec
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, qvec AS cvec FROM qv ORDER BY vec_id LIMIT 16),
+assigned AS (
+  SELECT e.vec_id, c.cid,
+         CAST(list_inner_product(c.cvec, c.cvec)
+              - 2 * list_inner_product(e.qvec, c.cvec) AS BIGINT) AS d,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_inner_product(c.cvec, c.cvec)
+                    - 2 * list_inner_product(e.qvec, c.cvec), c.cid
+         ) AS rnk
+  FROM qv e CROSS JOIN cent c
+),
+cells AS (SELECT vec_id, cid AS cell, d FROM assigned WHERE rnk = 1),
+edges AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN qv ea ON ea.vec_id = a.vec_id
+  JOIN qv eb ON eb.vec_id = b.vec_id
+  WHERE list_cosine_similarity(ea.dvec, eb.dvec) >= 0.38
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT vec_id AS id, vec_id AS comp FROM cells
+  UNION
+  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id
+),
+comp AS (SELECT id AS vec_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT co.vec_id, ce.cell, ce.d, co.cluster_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY co.cluster_id
+           ORDER BY ce.d DESC, CAST(co.vec_id AS VARCHAR)
+         ) AS rr
+  FROM comp co JOIN cells ce ON ce.vec_id = co.vec_id
+)
+SELECT r.vec_id, r.cell, r.d AS cdist, r.cluster_id,
+       rep.vec_id AS rep_id, r.vec_id = rep.vec_id AS is_kept
+FROM ranked r
+JOIN ranked rep ON rep.cluster_id = r.cluster_id AND rep.rr = 1
+ORDER BY r.vec_id
+"""
+
+
 def g5_overlapping_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5 overlapping tournament groups (size 3, overlap 2) over per-nation
     supplier rankings — the named operator for the reference's
@@ -3115,6 +3198,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "snapshot_delta": (snapshot_delta, SNAPSHOT_DELTA_SQL),
     "domain_caps": (domain_caps, DOMAIN_CAPS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
+    "semdedup_docs": (semdedup_docs, SEMDEDUP_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

@@ -359,3 +359,116 @@ def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
         .select("id_l", "id_r", cosine_sim(F.col("v_l"), F.col("v_r")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(embeddings: DataFrame, eps: float = 0.9,
+             n_cells: int | None = None,
+             centroids=None,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             cell_cap: int = 2_000, keep: str = "far",
+             corpus_count: int | None = None,
+             skip_block_threshold: int | None = None,
+             metrics=None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    k-means clustering + within-cluster cosine pruning — the embedding
+    sibling of the reference's duplicate suppression (same pairs→clusters
+    →representative shape as `dedup_minhash_lsh`; reference top-k probe at
+    /root/reference/Sparkle/database.py:165-183 supplies the cosine).
+
+    Shape: assign every vector to its nearest k-means cell (one Arrow
+    matmul per batch, `ivf.make_cell_dist_udf` — exact integer arithmetic
+    on the 2**12-quantized grid), generate candidate pairs ONLY within a
+    cell via the skew-salted `candidate_pairs` machinery, keep edges with
+    cosine >= eps, close them transitively with `connected_components`
+    (edges never cross cells, so a component lives inside one cell), and
+    pick one representative per component:
+
+      keep='far'    the member FARTHEST from its cell centroid (max d) —
+                    the paper's low-similarity-to-centroid policy, which
+                    it found preserves the most diverse examples
+      keep='near'   the most typical member (min d)
+      keep='min_id' smallest id (the other dedup operators' convention)
+
+    All ties break on min id. d is the exact integer assignment score, so
+    the representative choice is deterministic across partitionings AND
+    engines — a DuckDB oracle recomputes cells, pairs, components and reps
+    bit-for-bit (`semdedup_docs` driver query).
+
+    Scale: cells are data-adaptive (auto n_cells ≈ √N) so E[cell] ≈ √N;
+    the within-cell pair join is triangle-salted with per-task bound
+    ≈ 2·cell_cap, and a degenerate mega-cell (> skip threshold, default
+    64·cell_cap) is skipped like `embedding_near_dup_pairs` skips mass-
+    collision buckets. Centroid training reads a bounded sample; the
+    rep argmax is ONE struct-min aggregation (no window over a hot
+    cluster). Returns (row_id, cell, cdist, cluster_id, rep_id, is_kept).
+    """
+    from entitylinking_spark.operators.ivf import (
+        auto_n_cells,
+        fit_centroids,
+        make_cell_dist_udf,
+    )
+    from entitylinking_spark.operators.similarity import cosine_sim
+
+    if keep not in ("far", "near", "min_id"):
+        raise ValueError(f"unknown keep policy {keep!r}")
+    if centroids is None:
+        if corpus_count is None:
+            corpus_count = embeddings.count()
+        centroids = fit_centroids(
+            embeddings, n_cells or auto_n_cells(corpus_count),
+            id_col=id_col, vec_col=vec_col,
+        )
+    if skip_block_threshold is None:
+        skip_block_threshold = 64 * cell_cap
+    probe = make_cell_dist_udf(centroids)
+    base = embeddings.select(
+        F.col(id_col).cast("string").alias("row_id"), F.col(vec_col).alias("vec")
+    )
+    # materialize the slim assignment ONCE: it feeds the pair branches AND
+    # the rep policy, and an unpersisted plan would re-run the Arrow matmul
+    # per branch (the embedding_near_dup_pairs lesson).
+    keyed = (
+        base.withColumn("_a", probe(F.col("vec")))
+        .select("row_id", F.col("_a.cell").alias("cell"),
+                F.col("_a.d").alias("cdist"))
+        .localCheckpoint(eager=True)
+    )
+    blocks = keyed.select(
+        F.col("cell").cast("string").alias("block_key"), "row_id"
+    )
+    cfg = ERConfig(block_cap=cell_cap, skip_block_threshold=skip_block_threshold)
+    census = None
+    if metrics is not None:
+        from entitylinking_spark.operators.blocking import block_census
+
+        census = block_census(blocks)
+        metrics.record(
+            "semdedup_cells", n_cells=len(centroids), cell_cap=cell_cap,
+            skip_block_threshold=skip_block_threshold,
+            **metrics.block_stats(census, cell_cap, skip_block_threshold),
+        )
+    pairs = candidate_pairs(blocks, cfg, census=census)
+    vl = base.select(F.col("row_id").alias("id_l"), F.col("vec").alias("v_l"))
+    vr = base.select(F.col("row_id").alias("id_r"), F.col("vec").alias("v_r"))
+    edges = (
+        pairs.join(vl, "id_l").join(vr, "id_r")
+        .filter(cosine_sim(F.col("v_l"), F.col("v_r")) >= eps)
+        .select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+    )
+    clusters = connected_components(edges, all_ids=keyed.select("row_id"))
+    assigned = clusters.join(keyed, "row_id")
+    if keep == "min_id":
+        rep_key = F.struct(F.col("row_id").alias("i"))
+    else:
+        sign = -1 if keep == "far" else 1
+        rep_key = F.struct(
+            (F.col("cdist") * F.lit(sign)).alias("k"),
+            F.col("row_id").alias("i"),
+        )
+    reps = assigned.groupBy("cluster_id").agg(F.min(rep_key).alias("_m")).select(
+        "cluster_id", F.col("_m.i").alias("rep_id")
+    )
+    return assigned.join(reps, "cluster_id").select(
+        "row_id", "cell", "cdist", "cluster_id", "rep_id",
+        (F.col("row_id") == F.col("rep_id")).alias("is_kept"),
+    )

@@ -134,6 +134,32 @@ def make_cell_probe_udf(centroids_q: np.ndarray, nprobe: int):
     return probe
 
 
+def make_cell_dist_udf(centroids_q: np.ndarray):
+    """Arrow-batched NEAREST cell + exact integer assignment score per
+    vector: (cell, d) with d = ip(c,c) - 2*ip(x,c) for the winning cell
+    (monotone in squared L2 distance at fixed norm(x), so argmin/argmax
+    over d within one cell ranks members by distance to THAT centroid).
+    d stays well under 2**53 (module note), so float64 BLAS computes it
+    exactly and a DuckDB list_inner_product oracle recomputes it
+    bit-for-bit — `semdedup` uses d as its deterministic keep policy."""
+    cent = np.ascontiguousarray(centroids_q, dtype=np.float64)
+    cc = (cent * cent).sum(axis=1)  # ip(c,c), exact integers
+
+    @F.pandas_udf("cell int, d bigint")
+    def probe(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "d": pd.Series([], dtype="int64")})
+        q = _quantize(vecs.tolist())
+        d = cc[None, :] - 2.0 * (q @ cent.T)
+        idx = np.argmin(d, axis=1)  # first occurrence = lowest cell id
+        best = d[np.arange(len(idx)), idx]
+        return pd.DataFrame({"cell": idx.astype(np.int32),
+                             "d": best.astype(np.int64)})
+
+    return probe
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int | None = None, nprobe: int = 2,
              centroids: np.ndarray | None = None,
