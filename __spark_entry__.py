@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2903,6 +2904,137 @@ FROM m ORDER BY media_id
 """
 
 
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting heart of BPE tokenizer training (operators/bpe.py):
+    weighted adjacent character-pair counts over the corpus word-frequency
+    table — step 0 of train_bpe, whose argmax is the first merge. Top 40
+    by (count DESC, pair ASC) so the cut is total-ordered; DuckDB
+    recomputes words, weights, pairs and ranks exactly."""
+    from entitylinking_spark.operators.bpe import _pair_counts, word_counts
+
+    d = _t(spark, sf_dir, "documents")
+    words = word_counts(d).select(
+        "word", "n", F.split("word", "(?!$)").alias("syms")
+    )
+    w = Window.orderBy(F.desc("cnt"), "a", "b")
+    return (
+        _pair_counts(words)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 40)
+        .select("rank", "a", "b", "cnt")
+        .orderBy("rank")
+    )
+
+
+BPE_PAIR_COUNTS_SQL = """
+WITH words AS (
+  SELECT w, COUNT(*) AS n
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9_]+')) t(w)
+  WHERE w <> '' GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b,
+         CAST(SUM(n) AS BIGINT) AS cnt
+  FROM words,
+       UNNEST(list_transform(range(1, length(w)), x -> CAST(x AS INT))) u(i)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS rank, a, b, cnt
+  FROM pairs
+)
+SELECT CAST(rank AS INT) AS rank, a, b, cnt
+FROM ranked WHERE rank <= 40 ORDER BY rank
+"""
+
+
+def resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image path oracle-checked end to end (no stub anywhere):
+    deterministic 4x4 RGB P6 payloads (pixel = first-60-md5-bits of
+    'px:<doc>:<y>:<x>:<c>' % 256) are decoded by the real netpbm decoder,
+    nearest-resized to 2x2 (multimodal.resize_image samples rows/cols
+    {1,3} at half-pixel centers), re-encoded as P6, decoded AGAIN, and
+    reduced to exact integer channel sums — DuckDB recomputes the same
+    sums straight from the md5 arithmetic."""
+    import hashlib as _hl
+
+    import numpy as _np
+
+    from entitylinking_spark.operators.multimodal import decode_ppm, resize_media
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+
+    @F.pandas_udf("binary")
+    def make_img(ids: pd.Series) -> pd.Series:
+        out = []
+        for i in ids:
+            px = bytes(
+                int(_hl.md5(f"px:{int(i)}:{y}:{x}:{c}".encode())
+                    .hexdigest()[:15], 16) % 256
+                for y in range(4) for x in range(4) for c in range(3)
+            )
+            out.append(b"P6\n4 4\n255\n" + px)
+        return pd.Series(out)
+
+    media = d.select(
+        F.concat(F.lit("m"), F.col("doc_id")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        make_img(F.col("doc_id")).alias("payload"),
+    )
+    small = resize_media(media, 2, 2, method="nearest")
+
+    @F.pandas_udf("array<long>")
+    def channel_sums(payloads: pd.Series) -> pd.Series:
+        res = []
+        for p in payloads:
+            img = decode_ppm(bytes(p)).astype(_np.int64)
+            res.append([int(img[:, :, c].sum()) for c in range(3)])
+        return pd.Series(res)
+
+    return (
+        small.select(
+            "media_id", "src_height", "src_width", "height", "width",
+            channel_sums("payload").alias("s"),
+        )
+        .select(
+            "media_id", "src_height", "src_width", "height", "width",
+            F.col("s")[0].alias("sum_r"),
+            F.col("s")[1].alias("sum_g"),
+            F.col("s")[2].alias("sum_b"),
+        )
+        .orderBy("media_id")
+    )
+
+
+_H60_PX = (
+    "list_sum(list_transform(range(15), j -> "
+    "(strpos('0123456789abcdef', substr(md5({x}), j+1, 1)) - 1)"
+    " * (1::BIGINT << (4*(14-j)))))"
+)
+
+RESIZE_THUMBS_SQL = f"""
+WITH px AS (
+  SELECT doc_id, yy, xx, cc,
+         ({_H60_PX.format(x="'px:' || CAST(doc_id AS VARCHAR) || ':' || "
+                            "CAST(yy AS VARCHAR) || ':' || CAST(xx AS VARCHAR)"
+                            " || ':' || CAST(cc AS VARCHAR)")}) % 256 AS v
+  FROM documents
+  CROSS JOIN range(4) ty(yy) CROSS JOIN range(4) tx(xx)
+  CROSS JOIN range(3) tc(cc)
+  WHERE doc_id < 120
+)
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(4 AS INT) AS src_height, CAST(4 AS INT) AS src_width,
+       CAST(2 AS INT) AS height, CAST(2 AS INT) AS width,
+       CAST(SUM(CASE WHEN cc = 0 THEN v END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN cc = 1 THEN v END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN cc = 2 THEN v END) AS BIGINT) AS sum_b
+FROM px WHERE yy IN (1, 3) AND xx IN (1, 3)
+GROUP BY doc_id ORDER BY media_id
+"""
+
+
 def media_payload_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-checked half of the multimodal plumbing: byte counts + payload
     sha256 computed THROUGH the mapInPandas decode path (multimodal.py),
@@ -3199,6 +3331,8 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "domain_caps": (domain_caps, DOMAIN_CAPS_SQL),
     "quality_scores": (quality_scores, QUALITY_SCORES_SQL),
     "semdedup_docs": (semdedup_docs, SEMDEDUP_SQL),
+    "resize_thumbs": (resize_thumbs, RESIZE_THUMBS_SQL),
+    "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_COUNTS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

@@ -145,6 +145,48 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("ivf_shuffle", ivf)
 
+    # SemDeDup over a 10k-vector corpus: 20 perturbed replicas per base
+    # embedding make real duplicate clusters, so the cells -> within-cell
+    # pairs -> CC -> representative chain all do real work
+    def semdedup_run():
+        from entitylinking_spark.operators.dedup import semdedup
+
+        reps_df = spark.range(20).select(F.col("id").alias("rep"))
+        big = emb.crossJoin(reps_df).select(
+            (F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") + F.col("rep") * F.lit(3e-4),
+            ).alias("embedding"),
+        )
+        # persist the derived input: the operator scans it 4x (fit sample,
+        # assignment, both pair sides) and re-deriving the crossJoin per
+        # scan would time input prep, not the operator
+        big = big.persist()
+        try:
+            big.count()
+            return (
+                semdedup(big, eps=0.98, n_cells=64, corpus_count=10_000)
+                .agg(F.sum(F.col("is_kept").cast("long")))
+                .collect()
+            )
+        finally:
+            big.unpersist()
+
+    timed("semdedup", semdedup_run)
+
+    # BPE tokenizer training: 8 merge iterations (each = one vocab-sized
+    # shuffle + one Arrow merge pass) then the zero-shuffle corpus encode
+    def bpe_run():
+        from entitylinking_spark.operators.bpe import bpe_tokenize, train_bpe
+
+        merges = train_bpe(docs, 8)
+        return bpe_tokenize(docs, merges).agg(
+            F.sum("n_bpe_tokens")
+        ).collect()
+
+    timed("bpe_train", bpe_run)
+
     # Gopher repetition signals over the documents table (one map-side
     # combined (doc, gram) shuffle)
     def repetition():
@@ -328,6 +370,23 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
             total_s += dt
         extras["media_mbps_payload"] = mbps_payload
         extras["media_mbps_raw"] = mbps_raw
+        # resize throughput: decode -> bilinear -> re-encode through
+        # resize_media on the PPM payload (256x256 -> 64x64)
+        from entitylinking_spark.operators.multimodal import resize_media
+
+        n = 128
+        df = spark.createDataFrame(
+            [(f"rz{i}", "image", bytearray(payloads["ppm"]), None)
+             for i in range(n)],
+            schema,
+        ).repartition(min(cpus, n)).persist()
+        df.count()
+        t0 = time.time()
+        resize_media(df, 64, 64).count()
+        dt = time.time() - t0
+        df.unpersist()
+        extras["resize_mbps_payload"] = round(n * len(payloads["ppm"]) / 1e6 / dt, 2)
+        total_s += dt
         return total_s
 
     timings["media_decode"] = round(media(), 3)

@@ -400,7 +400,10 @@ def semdedup(embeddings: DataFrame, eps: float = 0.9,
     64·cell_cap) is skipped like `embedding_near_dup_pairs` skips mass-
     collision buckets. Centroid training reads a bounded sample; the
     rep argmax is ONE struct-min aggregation (no window over a hot
-    cluster). Returns (row_id, cell, cdist, cluster_id, rep_id, is_kept).
+    cluster). The input plan is scanned up to 4x (fit sample, assignment,
+    both pair sides) — persist `embeddings` first when it is a derived
+    plan rather than a table scan. Returns (row_id, cell, cdist,
+    cluster_id, rep_id, is_kept).
     """
     from entitylinking_spark.operators.ivf import (
         auto_n_cells,

@@ -659,3 +659,126 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.avg(F.length(F.col("payload"))).alias("avg_bytes"),
         F.max(F.length(F.col("payload"))).alias("max_bytes"),
     )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Magic-sniffed decode of any supported IMAGE payload to an
+    (H, W, 3) uint8 RGB array: netpbm P5/P6, BMP, PNG (gray/gray+alpha/
+    RGB/RGBA/palette), GIF, baseline JPEG, and MJPEG AVI (first frame).
+    Grayscale planes are replicated to 3 channels; alpha is dropped —
+    the conventional pre-resize normalization. Audio/unknown payloads
+    raise (ValueError — "this is not an image" is a data error, not a
+    missing capability)."""
+    if payload[:2] in (b"P5", b"P6"):
+        img = decode_ppm(payload)
+    elif payload[:2] == b"BM":
+        img = decode_bmp(payload)
+    elif payload[:8] == _PNG_MAGIC:
+        img = decode_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        img = decode_gif(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from entitylinking_spark.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        _, img = next(decode_avi_frames(payload))
+    else:
+        raise ValueError(
+            "payload is not a decodable image (netpbm/BMP/PNG/GIF/JPEG/"
+            "MJPEG-AVI)"
+        )
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 2:  # gray + alpha
+        img = img[:, :, :1]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3], dtype=np.uint8)
+
+
+def _lin_coords(n_in: int, n_out: int):
+    """Half-pixel-center source coordinates (the align_corners=False
+    convention of OpenCV/Pillow/torch): split into (lo, hi, frac)."""
+    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
+    src = np.clip(src, 0.0, n_in - 1.0)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    return i0, i1, src - i0
+
+
+def resize_image(img: np.ndarray, out_h: int, out_w: int,
+                 method: str = "bilinear") -> np.ndarray:
+    """Vectorized numpy resize of an (H, W, C) uint8 image — no per-pixel
+    Python. 'nearest' gathers by index; 'bilinear' lerps the 4 neighbors
+    at half-pixel centers. Same-size bilinear is an EXACT identity (frac
+    is 0 everywhere), so the operator is idempotent at the target size."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("resize target must be positive")
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w = img.shape[:2]
+    if method == "nearest":
+        yi = np.minimum(((np.arange(out_h) + 0.5) * (h / out_h)).astype(np.int64), h - 1)
+        xi = np.minimum(((np.arange(out_w) + 0.5) * (w / out_w)).astype(np.int64), w - 1)
+        return img[np.ix_(yi, xi)]
+    if method != "bilinear":
+        raise ValueError(f"unknown resize method {method!r}")
+    y0, y1, ty = _lin_coords(h, out_h)
+    x0, x1, tx = _lin_coords(w, out_w)
+    f = img.astype(np.float64)
+    a, b = f[np.ix_(y0, x0)], f[np.ix_(y0, x1)]
+    c, d = f[np.ix_(y1, x0)], f[np.ix_(y1, x1)]
+    tx = tx[None, :, None]
+    ty = ty[:, None, None]
+    out = (a * (1 - tx) + b * tx) * (1 - ty) + (c * (1 - tx) + d * tx) * ty
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary P6 netpbm — the library's round-trippable
+    output container (decode_ppm reads it back bit-exactly)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img[:, :, :3].tobytes()
+
+
+RESIZED_SCHEMA = (
+    "media_id string, kind string, src_height int, src_width int, "
+    "height int, width int, payload binary"
+)
+
+
+def resize_media(media: DataFrame, height: int, width: int,
+                 method: str = "bilinear") -> DataFrame:
+    """Decode -> resize -> re-encode for every image payload, the
+    thumbnail/normalize step of a multimodal training pipeline
+    (reference corpus prep: /root/reference/e2e/preprocessing/
+    preprocessing.py — text-side normalize; images have no reference
+    counterpart). mapInPandas like extract_features: batch-level decode
+    control, bounded memory per Arrow batch. Output payloads are P6
+    netpbm (decode_image reads them back), so chained resizes compose
+    and the result is verifiable without external codecs."""
+    if height <= 0 or width <= 0:
+        raise ValueError("resize target must be positive")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "kind", "src_height", "src_width",
+                     "height", "width", "payload")}
+            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                img = decode_image(bytes(p) if p is not None else b"")
+                small = resize_image(img, height, width, method=method)
+                rows["media_id"].append(mid)
+                rows["kind"].append(kind)
+                rows["src_height"].append(img.shape[0])
+                rows["src_width"].append(img.shape[1])
+                rows["height"].append(small.shape[0])
+                rows["width"].append(small.shape[1])
+                rows["payload"].append(encode_ppm(small))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
