@@ -2904,6 +2904,131 @@ FROM m ORDER BY media_id
 """
 
 
+def url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL filtering features + suffix blocklist (cleaning.url_features /
+    filter_blocked_domains) over deterministic synthetic URLs: schemes,
+    userinfo, ports, multi-label TLDs, empty paths and queries all occur.
+    DuckDB rebuilds the same URLs and re-runs the IDENTICAL RE2 regexes
+    and label-group suffix matching."""
+    from entitylinking_spark.operators.cleaning import (
+        filter_blocked_domains,
+        url_features,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.when(doc % 3 == 0, F.lit("https://"))
+        .when(doc % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit("ftp://")),
+        F.when(doc % 5 == 0, F.lit("user:pw@")).otherwise(F.lit("")),
+        F.lit("w"), (doc % 50).cast("string"), F.lit(".example."),
+        F.when(doc % 4 == 0, F.lit("com")).when(doc % 4 == 1, F.lit("org"))
+        .when(doc % 4 == 2, F.lit("co.uk")).otherwise(F.lit("net")),
+        F.when(doc % 6 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.expr("repeat('/p', int(doc_id % 4))"),
+        F.when(doc % 2 == 0, F.lit("?q=1")).otherwise(F.lit("")),
+    )
+    base = d.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [("example.com",), ("example.co.uk",)], "domain string"
+    )
+    feats = url_features(base)
+    blocked = filter_blocked_domains(base, bl).select("doc_id", "url_blocked")
+    return (
+        feats.join(blocked, "doc_id")
+        .select("doc_id", "scheme", "host", "domain", "tld",
+                "path_depth", "has_query", "url_blocked")
+        .orderBy("doc_id")
+    )
+
+
+URL_STATS_SQL = r"""
+WITH u AS (
+  SELECT doc_id, lower(trim(
+    CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+                    ELSE 'ftp://' END
+    || CASE WHEN doc_id % 5 = 0 THEN 'user:pw@' ELSE '' END
+    || 'w' || CAST(doc_id % 50 AS VARCHAR) || '.example.'
+    || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       WHEN 2 THEN 'co.uk' ELSE 'net' END
+    || CASE WHEN doc_id % 6 = 0 THEN ':8080' ELSE '' END
+    || repeat('/p', CAST(doc_id % 4 AS INT))
+    || CASE WHEN doc_id % 2 = 0 THEN '?q=1' ELSE '' END
+  )) AS url FROM documents
+),
+g AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+    regexp_replace(regexp_replace(
+      regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+      '^[^@]*@', '', 'g'), ':[0-9]+$', '', 'g') AS host,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+  FROM u
+),
+h AS (
+  SELECT doc_id, url, scheme, host, path,
+         string_split(host, '.') AS sp
+  FROM g
+)
+SELECT doc_id, scheme, host,
+  regexp_extract(host, '([a-z0-9-]+\.[a-z0-9-]+)$', 1) AS domain,
+  regexp_extract(host, '\.([a-z0-9-]+)$', 1) AS tld,
+  CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS INT)
+    AS path_depth,
+  contains(url, '?') AS has_query,
+  len(list_filter(
+    list_transform([2, 3, 4], k ->
+      CASE WHEN len(sp) >= k
+           THEN array_to_string(list_slice(sp, len(sp) - k + 1, len(sp)), '.')
+      END),
+    s -> s IN ('example.com', 'example.co.uk'))) > 0 AS url_blocked
+FROM h ORDER BY doc_id
+"""
+
+
+def html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction (cleaning.html_to_text): every document is
+    wrapped in deterministic markup (script/style/comment/entities/block
+    tags) and stripped back; DuckDB runs the IDENTICAL RE2-safe
+    regexp_replace chain (html_passes_sql), so the values are bit-equal.
+    The chain is one codegen column expression — zero shuffles."""
+    from entitylinking_spark.operators.cleaning import html_to_text
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><style>p{margin:0}</style><script>var id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('";</script></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit('</p><!-- hidden --><div>tail &amp;lt;x&gt; '
+              "&quot;quoted&#39;s&quot;&nbsp;end</div></body></html>"),
+    )
+    out = html_to_text(d.withColumn("text", html))
+    return out.select("doc_id", "text_plain").orderBy("doc_id")
+
+
+def _html_extract_sql() -> str:
+    from entitylinking_spark.operators.cleaning import html_passes_sql
+
+    expr = (
+        "'<html><head><style>p{margin:0}</style><script>var id=\"' || "
+        "CAST(doc_id AS VARCHAR) || '\";</script></head><body><h1>Doc ' || "
+        "CAST(doc_id AS VARCHAR) || '</h1><p>' || text || "
+        "'</p><!-- hidden --><div>tail &amp;lt;x&gt; "
+        "&quot;quoted&#39;s&quot;&nbsp;end</div></body></html>'"
+    )
+    return (
+        "SELECT doc_id, " + html_passes_sql(expr)
+        + " AS text_plain FROM documents ORDER BY doc_id"
+    )
+
+
+HTML_EXTRACT_SQL = _html_extract_sql()
+
+
 def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The counting heart of BPE tokenizer training (operators/bpe.py):
     weighted adjacent character-pair counts over the corpus word-frequency
@@ -3333,6 +3458,8 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "semdedup_docs": (semdedup_docs, SEMDEDUP_SQL),
     "resize_thumbs": (resize_thumbs, RESIZE_THUMBS_SQL),
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_COUNTS_SQL),
+    "html_extract": (html_extract, HTML_EXTRACT_SQL),
+    "url_stats": (url_stats, URL_STATS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

@@ -425,3 +425,136 @@ def apply_span_cuts(docs: DataFrame, spans: DataFrame,
         ).alias("text_cut"),
         F.sum(F.col("_cut").cast("long")).alias("n_tokens_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the WET step of a web-corpus build)
+# ---------------------------------------------------------------------------
+
+# Applied strictly in order. Every pattern is RE2-safe (no backreferences,
+# no lookaround) so the DuckDB oracle runs the IDENTICAL chain; inline
+# (?is) flags because DuckDB's regexp_replace is first-match unless 'g'
+# while Spark's is always global — the flags live in the pattern, the 'g'
+# in the SQL call site.
+_HTML_PASSES: list[tuple[str, str]] = [
+    (r"(?is)<script[^>]*>.*?</script>", " "),   # script blocks, content too
+    (r"(?is)<style[^>]*>.*?</style>", " "),     # style blocks
+    (r"(?s)<!--.*?-->", " "),                   # comments
+    (r"(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/table)[^>]*>", "\n"),  # block ends
+    (r"(?s)<[^>]*>", " "),                      # every remaining tag
+    (r"&lt;", "<"), (r"&gt;", ">"), (r"&quot;", "\""),
+    (r"&#39;", "'"), (r"&nbsp;", " "),
+    (r"&amp;", "&"),                            # LAST: &amp;lt; -> &lt; text
+    (r"[ \t\r]*\n[ \t\r]*", "\n"),              # tidy around newlines
+    (r"\n{2,}", "\n"),                          # collapse blank lines
+    (r"[ \t\r]+", " "),                         # collapse runs of spaces
+    (r"^[\n ]+|[\n ]+$", ""),                   # trim
+]
+
+
+def html_to_text(docs: DataFrame, text_col: str = "text",
+                 out_col: str = "text_plain") -> DataFrame:
+    """Heuristic HTML -> plain text: strip script/style/comments, turn
+    block-level closers into newlines, drop every remaining tag, decode
+    the six common entities (&amp; last, so escaped markup stays text),
+    and normalize whitespace. The text-extraction step C4/FineWeb-class
+    corpora run on crawled pages before any quality pass (reference
+    per-file normalize loops: /root/reference/OneNet/data_process.py:
+    137-239 are the plain-text analogue).
+
+    A regex extractor is the documented trade: no DOM, no entity table,
+    no malformed-markup recovery — trafilatura-class extraction needs a
+    real parser. In exchange the whole pass is ONE chained
+    regexp_replace column expression: single codegen scan, zero
+    shuffles at any corpus size, and an engine-portable definition (the
+    DuckDB oracle runs the same patterns verbatim — RE2-safe by
+    construction).
+    """
+    c = F.col(text_col)
+    for pat, rep in _HTML_PASSES:
+        c = F.regexp_replace(c, pat, rep)
+    return docs.withColumn(out_col, c)
+
+
+def html_passes_sql(expr: str) -> str:
+    """The identical chain as DuckDB SQL (oracle twin), innermost-first."""
+    for pat, rep in _HTML_PASSES:
+        pat_sql = pat.replace("'", "''")
+        rep_sql = rep.replace("'", "''").replace("\n", "' || chr(10) || '")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep_sql}', 'g')"
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# URL features + domain blocklist (the C4/RefinedWeb URL-filtering stage)
+# ---------------------------------------------------------------------------
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-URL filtering features: scheme, host (lowercased, userinfo and
+    port stripped), registrable-domain heuristic (last two labels), tld,
+    non-empty path-segment depth, has_query. Every column is a single
+    RE2-safe regexp/array expression — one codegen scan, zero shuffles,
+    and the DuckDB oracle recomputes each one verbatim (`url_stats`).
+
+    The registrable-domain column is the LAST-TWO-LABELS heuristic, not
+    the Public Suffix List ('bbc.co.uk' -> 'co.uk'): the PSL is a data
+    file, not an algorithm — load it over this same frame when exactness
+    matters. C4 §2.1 / RefinedWeb §3.1 run their URL blocklists at this
+    stage."""
+    u = F.lower(F.trim(F.col(url_col)))
+    scheme = F.regexp_extract(u, r"^([a-z][a-z0-9+.-]*)://", 1)
+    auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(auth, r"^[^@]*@", ""), r":[0-9]+$", ""
+    )
+    path = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    return df.withColumns({
+        "scheme": scheme,
+        "host": host,
+        "domain": F.regexp_extract(host, r"([a-z0-9-]+\.[a-z0-9-]+)$", 1),
+        "tld": F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1),
+        "path_depth": F.size(F.array_remove(F.split(path, "/"), "")),
+        "has_query": u.contains("?"),
+    })
+
+
+def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
+                           url_col: str = "url",
+                           id_col: str = "doc_id",
+                           max_labels: int = 4) -> DataFrame:
+    """Annotate rows whose URL host falls under a blocklisted domain
+    SUFFIX (UT1/C4-style blocklists match 'ads.example.com' against an
+    'example.com' entry). blocklist: one `domain` column.
+
+    Plan: the host's candidate suffixes (itself + its last 2..max_labels
+    label groups, <= max_labels per row) explode into a SLIM (id, suffix)
+    frame, hit the blocklist in a BROADCAST semi-join (blocklists are
+    dimension-sized next to a web corpus), and distinct blocked ids join
+    back as a flag. One shuffle of O(matched ids), never the text."""
+    feats = url_features(df, url_col).select(id_col, "host")
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    cands = F.array_distinct(F.filter(
+        F.transform(
+            F.sequence(F.lit(2), F.lit(max_labels)),
+            lambda k: F.when(
+                n >= k, F.array_join(F.slice(labels, n - k + 1, k), ".")
+            ),
+        ),
+        lambda c: c.isNotNull(),
+    ))
+    exploded = feats.select(
+        id_col, F.explode_outer(cands).alias("suffix")
+    )
+    hits = (
+        exploded.join(
+            F.broadcast(blocklist.select(F.col("domain").alias("suffix"))),
+            "suffix",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("url_blocked", F.lit(True))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        "url_blocked", F.coalesce(F.col("url_blocked"), F.lit(False))
+    )
