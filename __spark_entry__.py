@@ -2904,6 +2904,79 @@ FROM m ORDER BY media_id
 """
 
 
+def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter (operators/lm.py): a trigram add-1
+    model fit on the EVEN documents scores the ODD ones. Counts are exact
+    integers; avg_logp is a mean of ln() of exact rationals, rounded to
+    6dp (the ROUND-vs-raw convention: engine-divergent transcendentals,
+    ties measure-zero). NULL scores (docs under n tokens) coalesce to the
+    999.0 sentinel because the driver canon cannot sort None cells."""
+    from entitylinking_spark.operators.lm import ngram_lm_fit, ngram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    lm = ngram_lm_fit(d.filter(F.col("doc_id") % 2 == 0), n=3, k=1.0)
+    out = ngram_lm_score(d.filter(F.col("doc_id") % 2 == 1), lm)
+    return out.select(
+        "doc_id", "n_grams", "n_hits",
+        F.coalesce(F.round("avg_logp", 6), F.lit(999.0)).alias("avg_logp_r"),
+    ).orderBy("doc_id")
+
+
+LM_PERPLEXITY_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+refg AS (
+  SELECT array_to_string(list_slice(ts, i, i + 2), chr(31)) AS gram,
+         array_to_string(list_slice(ts, i, i + 1), chr(31)) AS ctx
+  FROM tok,
+       UNNEST(list_transform(range(1, len(ts) - 1),
+                             x -> CAST(x AS INT))) u(i)
+  WHERE doc_id % 2 = 0
+),
+gc AS (SELECT gram, COUNT(*) AS c_gram FROM refg GROUP BY gram),
+cc AS (SELECT ctx, COUNT(*) AS c_ctx FROM refg GROUP BY ctx),
+vv AS (
+  SELECT COUNT(DISTINCT t) AS v
+  FROM tok, UNNEST(ts) w(t) WHERE doc_id % 2 = 0
+),
+crawl AS (
+  SELECT doc_id,
+         array_to_string(list_slice(ts, i, i + 2), chr(31)) AS gram,
+         array_to_string(list_slice(ts, i, i + 1), chr(31)) AS ctx
+  FROM tok,
+       UNNEST(list_transform(range(1, len(ts) - 1),
+                             x -> CAST(x AS INT))) u(i)
+  WHERE doc_id % 2 = 1
+),
+scored AS (
+  SELECT c.doc_id,
+         CASE WHEN g.c_gram IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         ln((COALESCE(g.c_gram, 0) + 1.0)
+            / (COALESCE(x.c_ctx, 0) + 1.0 * (SELECT v FROM vv))) AS logp
+  FROM crawl c
+  LEFT JOIN gc g ON g.gram = c.gram
+  LEFT JOIN cc x ON x.ctx = c.ctx
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(hit) AS BIGINT) AS n_hits,
+         AVG(logp) AS avg_logp
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.n_grams, 0) AS n_grams,
+       COALESCE(a.n_hits, 0) AS n_hits,
+       COALESCE(ROUND(a.avg_logp, 6), 999.0) AS avg_logp_r
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id
+"""
+
+
 def url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL filtering features + suffix blocklist (cleaning.url_features /
     filter_blocked_domains) over deterministic synthetic URLs: schemes,
@@ -3460,6 +3533,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "bpe_pair_counts": (bpe_pair_counts, BPE_PAIR_COUNTS_SQL),
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "url_stats": (url_stats, URL_STATS_SQL),
+    "lm_perplexity": (lm_perplexity, LM_PERPLEXITY_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

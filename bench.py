@@ -187,6 +187,21 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
 
     timed("bpe_train", bpe_run)
 
+    # CCNet-shape LM perplexity filter: trigram model fit on half the
+    # corpus (one scan + vocab-sized aggs), broadcast-scored on the other
+    def lm_run():
+        from entitylinking_spark.operators.lm import (
+            ngram_lm_fit,
+            ngram_lm_score,
+        )
+
+        lm = ngram_lm_fit(docs.filter(F.col("doc_id") % 2 == 0), n=3)
+        return ngram_lm_score(
+            docs.filter(F.col("doc_id") % 2 == 1), lm
+        ).agg(F.sum("n_grams"), F.sum("n_hits")).collect()
+
+    timed("lm_score", lm_run)
+
     # Gopher repetition signals over the documents table (one map-side
     # combined (doc, gram) shuffle)
     def repetition():
