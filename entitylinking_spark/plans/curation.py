@@ -59,12 +59,20 @@ class CurationConfig:
     domain_col: str = "source"
     cap_seed: str = "c1"
     cap_buckets: int = 32
+    # optional HTML -> text extraction BEFORE the scrub (the WET step for
+    # corpora ingested as raw markup): enabled when extract_html=True
+    extract_html: bool = False
+    # optional LM-perplexity gate (CCNet): enabled when an NgramLM is
+    # passed to curate(lm=...); docs with perplexity > max_perplexity or
+    # too short to score (NULL) fail the gate
+    max_perplexity: float = 1e6
 
 
 def curate(docs: DataFrame, benchmark: DataFrame | None = None,
            config: CurationConfig | None = None,
            id_col: str = "doc_id", text_col: str = "text",
-           bench_text_col: str = "text", metrics=None) -> DataFrame:
+           bench_text_col: str = "text", url_blocklist: DataFrame | None = None,
+           url_col: str = "url", lm=None, metrics=None) -> DataFrame:
     """Annotate every document with the curation verdict.
 
     Returns one row per input doc:
@@ -78,7 +86,17 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     for audit. With benchmark=None the contamination stage is skipped
     (contaminated = false, no benchmark jobs run).
 
-    Optional stages (both default-off; see CurationConfig):
+    Optional stages (all default-off; see CurationConfig):
+      * extract_html=True prepends the html_to_text regex chain — the
+        scrub and everything downstream see the EXTRACTED text.
+      * url_blocklist=<df with `domain`> adds the domain-suffix gate
+        (cleaning.filter_blocked_domains over docs[url_col]) — extra
+        column url_blocked, keep gains `AND NOT url_blocked`.
+      * lm=<NgramLM from operators.lm.ngram_lm_fit> adds the CCNet
+        perplexity gate over the scrubbed/extracted text — extra column
+        lm_ppl; keep requires a non-NULL perplexity <= max_perplexity
+        (too-short-to-score docs fail; gate on n_grams upstream if they
+        should pass).
       * model_n_buckets > 0 adds the hashed linear quality classifier
         over the scrubbed text — extra columns (model_score, model_pass)
         and keep gains `AND model_pass`. The weight-dim join broadcasts;
@@ -94,7 +112,13 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
         matters.
     """
     cfg = config or CurationConfig()
-    text = scrub_pii(text_col) if cfg.scrub else F.col(text_col)
+    raw = F.col(text_col)
+    if cfg.extract_html:
+        from entitylinking_spark.operators.cleaning import _HTML_PASSES
+
+        for pat, rep in _HTML_PASSES:
+            raw = F.regexp_replace(raw, pat, rep)
+    text = scrub_pii(raw) if cfg.scrub else raw
     base = docs.select(
         F.col(id_col),
         text.alias("text"),
@@ -151,6 +175,40 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
             F.sum((~F.col("model_pass")).cast("long")).alias("model_rejected")
         )
 
+    url_cols = []
+    if url_blocklist is not None:
+        from entitylinking_spark.operators.cleaning import (
+            filter_blocked_domains,
+        )
+
+        flags = filter_blocked_domains(
+            docs.select(id_col, url_col), url_blocklist,
+            url_col=url_col, id_col=id_col,
+        ).select(id_col, "url_blocked")
+        out = out.join(flags, id_col)
+        gate = gate & ~F.col("url_blocked")
+        url_cols = ["url_blocked"]
+        funnel_extra.append(
+            F.sum(F.col("url_blocked").cast("long")).alias("url_blocked")
+        )
+
+    lm_cols = []
+    if lm is not None:
+        from entitylinking_spark.operators.lm import ngram_lm_score
+
+        ppl = ngram_lm_score(
+            out.select(id_col, "text"), lm, id_col=id_col
+        ).select(id_col, F.col("perplexity").alias("lm_ppl"))
+        out = out.join(ppl, id_col)
+        lm_pass = F.col("lm_ppl").isNotNull() & (
+            F.col("lm_ppl") <= F.lit(cfg.max_perplexity)
+        )
+        gate = gate & lm_pass
+        lm_cols = ["lm_ppl"]
+        funnel_extra.append(
+            F.sum((~lm_pass).cast("long")).alias("lm_rejected")
+        )
+
     cap_cols = []
     if cfg.domain_cap is not None:
         from entitylinking_spark.operators.mixing import cap_per_domain
@@ -177,7 +235,8 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
 
     out = out.select(
         id_col, "text", "lang", "quality", "is_duplicate", "contaminated",
-        "split", *model_cols, *cap_cols, gate.alias("keep"),
+        "split", *model_cols, *url_cols, *lm_cols, *cap_cols,
+        gate.alias("keep"),
     )
 
     if metrics is not None:

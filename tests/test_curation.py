@@ -176,3 +176,74 @@ def test_curate_default_unchanged_by_new_config(spark):
     out = curate(docs, None, CurationConfig())
     assert out.columns == ["doc_id", "text", "lang", "quality",
                            "is_duplicate", "contaminated", "split", "keep"]
+
+
+def test_curate_html_url_and_lm_stages(spark):
+    """The three round-5 optional stages: HTML extraction feeds the scrub,
+    the URL suffix blocklist gates, the LM perplexity gate drops garbage
+    and too-short docs; all equal their manual compositions."""
+    from entitylinking_spark.operators.cleaning import html_to_text
+    from entitylinking_spark.operators.lm import ngram_lm_fit
+
+    rows = [
+        (0, f"<p>{GOOD} zero</p>", "https://ok.example.org/a"),
+        (1, f"<div>{GOOD} one</div><script>var x=1;</script>",
+         "https://ads.blocked.net/b"),
+        (2, f"{GOOD} two", "https://ok.example.org/c"),
+        (3, "zzz yyy xxx qqq www " * 6, "https://ok.example.org/d"),  # garbage
+        (4, "<p>hi</p>", "https://ok.example.org/e"),  # too short to score
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "url"]).persist()
+    ref = spark.createDataFrame(
+        [(i, GOOD + f" ref {i}") for i in range(5)], ["doc_id", "text"]
+    )
+    lm = ngram_lm_fit(ref, n=2)
+    bl = spark.createDataFrame([("blocked.net",)], "domain string")
+    # threshold between the in-domain and garbage scores (tiny test vocab
+    # compresses the perplexity range, so derive rather than hardcode)
+    from entitylinking_spark.operators.lm import ngram_lm_score
+
+    ppls = {
+        r["doc_id"]: r["perplexity"] for r in ngram_lm_score(
+            html_to_text(docs).select(
+                "doc_id", F.col("text_plain").alias("text")), lm
+        ).collect()
+    }
+    assert ppls[0] < ppls[3] and ppls[4] is None
+    max_ppl = (ppls[0] + ppls[3]) / 2
+    cfg = CurationConfig(extract_html=True, max_perplexity=max_ppl,
+                         min_quality=0.0, languages=("en", "unknown"))
+    out = curate(docs, config=cfg, url_blocklist=bl, lm=lm)
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    # html extraction: scrubbed text equals html_to_text of the raw text
+    plain = {
+        r["doc_id"]: r["text_plain"] for r in html_to_text(
+            docs.select("doc_id", "text")).collect()
+    }
+    for i in range(5):
+        assert got[i]["text"] == plain[i], i
+    assert "<script>" not in got[1]["text"]
+
+    # url gate: only doc 1 blocked
+    assert {i: got[i]["url_blocked"] for i in got} == {
+        0: False, 1: True, 2: False, 3: False, 4: False}
+    # lm gate: garbage ppl above the derived threshold, short doc NULL
+    assert got[3]["lm_ppl"] > max_ppl
+    assert got[4]["lm_ppl"] is None
+    assert got[0]["keep"] and got[2]["keep"]
+    assert not got[1]["keep"] and not got[3]["keep"] and not got[4]["keep"]
+    docs.unpersist()
+
+
+def test_curate_html_stage_default_off(spark):
+    """extract_html=False leaves markup in place (and the default config
+    column contract has no url/lm columns)."""
+    docs = spark.createDataFrame(
+        [(0, f"<p>{GOOD}</p>")], ["doc_id", "text"]
+    )
+    out = curate(docs, config=CurationConfig(min_quality=0.0))
+    row = out.collect()[0]
+    assert "<p>" in row["text"]
+    assert out.columns == ["doc_id", "text", "lang", "quality",
+                           "is_duplicate", "contaminated", "split", "keep"]
