@@ -95,7 +95,12 @@ def ngram_lm_fit(ref_docs: DataFrame, n: int = 3, k: float = 1.0,
         .agg(F.countDistinct("t"))
         .first()[0]
     )
-    return NgramLM(g, ctx, int(v or 0), n, k)
+    if not v:
+        raise ValueError(
+            "reference corpus has no tokens — cannot fit an LM (V=0 would "
+            "divide by zero in the smoothed estimate)"
+        )
+    return NgramLM(g, ctx, int(v), n, k)
 
 
 def ngram_lm_score(docs: DataFrame, lm: NgramLM,

@@ -120,3 +120,9 @@ def test_validation(spark, frames):
         ngram_lm_fit(ref, n=1)
     with pytest.raises(ValueError):
         ngram_lm_fit(ref, n=3, k=0.0)
+
+
+def test_empty_reference_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    with pytest.raises(ValueError, match="no tokens"):
+        ngram_lm_fit(empty, n=2)
