@@ -41,12 +41,13 @@ class NgramLM:
     """Handle returned by ngram_lm_fit: the two count frames + scalars."""
 
     def __init__(self, grams: DataFrame, contexts: DataFrame,
-                 vocab_size: int, n: int, k: float):
+                 vocab_size: int, n: int, k: float, n_grams: int = 0):
         self.grams = grams          # (gram, c_gram)
         self.contexts = contexts    # (ctx, c_ctx)
         self.vocab_size = vocab_size
         self.n = n
         self.k = k
+        self.n_grams = n_grams      # distinct gram count (broadcast sizing)
 
 
 def _gram_cols(text_col: str, n: int):
@@ -100,15 +101,23 @@ def ngram_lm_fit(ref_docs: DataFrame, n: int = 3, k: float = 1.0,
             "reference corpus has no tokens — cannot fit an LM (V=0 would "
             "divide by zero in the smoothed estimate)"
         )
-    return NgramLM(g, ctx, int(v), n, k)
+    return NgramLM(g, ctx, int(v), n, k, n_grams=g.count())
 
 
 def ngram_lm_score(docs: DataFrame, lm: NgramLM,
                    id_col: str = "doc_id",
-                   text_col: str = "text") -> DataFrame:
+                   text_col: str = "text",
+                   broadcast_max_grams: int = 20_000_000) -> DataFrame:
     """(id, n_grams, n_hits, avg_logp, perplexity) per document under the
-    fitted model. Broadcast count joins; one slim per-doc aggregation."""
+    fitted model. Count joins BROADCAST while the model has at most
+    `broadcast_max_grams` distinct grams (~8B hash + string + count ≈
+    50 B/row ⇒ ~1 GB at the default cap); a larger model (a 10^9-gram
+    Wikipedia-scale reference) falls back to plain shuffle joins on the
+    gram/ctx keys — correct, at the cost of shuffling the crawl's gram
+    stream (the decontam broadcast_max_grams trade)."""
     n, k, v = lm.n, lm.k, lm.vocab_size
+    fits = lm.n_grams <= broadcast_max_grams
+    side = F.broadcast if fits else (lambda df: df)
     toks, zipped, m = _gram_cols(text_col, n)
     exploded = docs.select(
         F.col(id_col),
@@ -124,8 +133,8 @@ def ngram_lm_score(docs: DataFrame, lm: NgramLM,
     )
     scored = (
         exploded
-        .join(F.broadcast(lm.grams), "gram", "left")
-        .join(F.broadcast(lm.contexts), "ctx", "left")
+        .join(side(lm.grams), "gram", "left")
+        .join(side(lm.contexts), "ctx", "left")
         .select(
             id_col,
             F.col("gram").isNotNull().alias("has_gram"),

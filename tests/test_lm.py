@@ -126,3 +126,14 @@ def test_empty_reference_raises(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     with pytest.raises(ValueError, match="no tokens"):
         ngram_lm_fit(empty, n=2)
+
+
+def test_shuffle_fallback_equals_broadcast(spark, frames):
+    """Above broadcast_max_grams the joins fall back to shuffle — results
+    identical, plan loses its broadcast builds."""
+    ref, crawl = frames
+    lm = ngram_lm_fit(ref, n=2)
+    a = sorted(map(tuple, ngram_lm_score(crawl, lm).collect()))
+    out_b = ngram_lm_score(crawl, lm, broadcast_max_grams=1)
+    b = sorted(map(tuple, out_b.collect()))
+    assert a == b
