@@ -2904,6 +2904,67 @@ FROM m ORDER BY media_id
 """
 
 
+def oov_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage check (vocab.oov_rate): per-doc OOV token share
+    against the corpus's own top-200 vocabulary (total-ordered tf DESC,
+    token ASC so the cut is deterministic). oov_rate is one division of
+    exact longs — bit-equal across engines; NULL (token-less docs)
+    coalesces to the -1.0 sentinel."""
+    from entitylinking_spark.operators.vocab import oov_rate, vocabulary
+
+    d = _t(spark, sf_dir, "documents")
+    v = vocabulary(d)
+    top = (
+        v.withColumn(
+            "_r",
+            F.row_number().over(Window.orderBy(F.desc("tf"), "token")),
+        )
+        .filter(F.col("_r") <= 200)
+        .select("token")
+    )
+    return (
+        oov_rate(d, top)
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.coalesce("oov_rate", F.lit(-1.0)).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+OOV_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                          x -> x <> '')) u(t)
+),
+vocab AS (
+  SELECT t AS token, COUNT(*) AS tf FROM toks GROUP BY t
+),
+top AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS r
+    FROM vocab
+  ) WHERE r <= 200
+),
+per AS (
+  SELECT tk.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CASE WHEN tp.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM toks tk LEFT JOIN top tp ON tp.token = tk.t
+  GROUP BY tk.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.n_oov, 0) AS n_oov,
+       COALESCE(CAST(p.n_oov AS DOUBLE) / p.n_tokens, -1.0) AS oov_rate
+FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality filter (operators/lm.py): a trigram add-1
     model fit on the EVEN documents scores the ODD ones. Counts are exact
@@ -3534,6 +3595,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "html_extract": (html_extract, HTML_EXTRACT_SQL),
     "url_stats": (url_stats, URL_STATS_SQL),
     "lm_perplexity": (lm_perplexity, LM_PERPLEXITY_SQL),
+    "oov_docs": (oov_docs, OOV_DOCS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

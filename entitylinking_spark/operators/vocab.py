@@ -157,3 +157,37 @@ def length_profile(docs: DataFrame, group_col: str = "lang",
         )
         aggs.append(F.expr(expr).alias(name))
     return docs.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+
+
+def oov_rate(docs: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text", token_col: str = "token") -> DataFrame:
+    """Per-document out-of-vocabulary token share against a vocabulary
+    frame — the coverage check run after vocabulary/tokenizer training
+    (a doc whose tokens the vocab cannot express inflates UNK rates in
+    training). Returns (id, n_tokens, n_oov, oov_rate) with oov_rate
+    NULL for token-less docs.
+
+    Plan: one explode + a BROADCAST left join against the vocab (vocabs
+    are dimension-sized by construction — `vocabulary(top_k=...)`), one
+    map-side-combined per-doc agg. oov_rate is a single division of two
+    exact longs, so it compares bit-equal across engines (the
+    quality_scores convention)."""
+    toks = docs.select(
+        F.col(id_col), F.explode_outer(tokenize(text_col)).alias("tok")
+    )
+    iv = vocab.select(F.col(token_col).alias("tok"),
+                      F.lit(True).alias("_iv"))
+    j = toks.join(F.broadcast(iv), "tok", "left")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.sum(F.col("tok").isNotNull().cast("long")).alias("n_tokens"),
+            F.sum((F.col("tok").isNotNull() & F.col("_iv").isNull())
+                  .cast("long")).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.when(F.col("n_tokens") > 0,
+                   F.col("n_oov") / F.col("n_tokens")),
+        )
+    )

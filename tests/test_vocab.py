@@ -103,3 +103,53 @@ def test_length_profile_approx_path(corpus):
         # GK sketch returns an ACTUAL member value near the true rank
         # (exact interpolates between order statistics, so they differ)
         assert approx[g]["p50"] in members[g]
+
+
+def test_oov_rate_known_answers(spark):
+    from entitylinking_spark.operators.vocab import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc"), (2, "xx yy"), (3, "aa xx"), (4, ""), (5, None)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("aa",), ("bb",)], "token string")
+    got = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (4, 1)
+    assert got[1]["oov_rate"] == 0.25
+    assert got[2]["oov_rate"] == 1.0
+    assert got[3]["oov_rate"] == 0.5
+    assert got[4]["n_tokens"] == 0 and got[4]["oov_rate"] is None
+    assert got[5]["n_tokens"] == 0 and got[5]["oov_rate"] is None
+
+
+def test_oov_rate_against_trained_vocabulary(spark):
+    from entitylinking_spark.operators.vocab import oov_rate, vocabulary
+
+    docs = spark.createDataFrame(
+        [(i, "common words " + (f"rare{i}" if i % 2 else "shared"))
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    v = vocabulary(docs, min_df=2)  # rare{i} tokens excluded (df=1)
+    got = {r["doc_id"]: r["n_oov"] for r in oov_rate(docs, v).collect()}
+    assert all(got[i] == (1 if i % 2 else 0) for i in range(10))
+
+
+def test_bpe_fertility_composition(spark):
+    """Tokenizer fertility (BPE tokens per word) via bpe_tokenize +
+    token_count — the trainer-facing coverage number."""
+    from entitylinking_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest " * 10)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, 6)
+    toks = F.array_remove(F.split(F.lower(F.col("text")), r"[^\w]+"), "")
+    out = (
+        bpe_tokenize(docs, merges)
+        .join(docs.select("doc_id", F.size(toks).alias("n_words")), "doc_id")
+        .withColumn("fertility", F.col("n_bpe_tokens") / F.col("n_words"))
+        .collect()[0]
+    )
+    assert out["n_words"] == 30
+    assert 1.0 <= out["fertility"] <= 3.0
