@@ -1769,6 +1769,81 @@ ORDER BY vec_id
 """
 )
 
+HARD_NEG_SQL = (
+    "WITH RECURSIVE "
+    + _EMB_EDGES_SQL.strip().rstrip(")").rstrip()
+    + """),
+edges AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM buckets a
+  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ae ON ae.vec_id = a.vec_id
+  JOIN embeddings be ON be.vec_id = b.vec_id
+  WHERE list_cosine_similarity(CAST(ae.embedding AS DOUBLE[]),
+                               CAST(be.embedding AS DOUBLE[])) >= 0.35
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT vec_id AS id, vec_id AS comp FROM embeddings
+  UNION
+  SELECT s.b AS id, r.comp FROM reach r JOIN sym s ON s.a = r.id
+),
+comp AS (SELECT id AS vec_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                CAST(ee.embedding AS DOUBLE[])) AS cosine
+  FROM comp q
+  JOIN embeddings eq ON eq.vec_id = q.vec_id
+  JOIN comp e ON e.cluster_id <> q.cluster_id AND e.vec_id <> q.vec_id
+  JOIN embeddings ee ON ee.vec_id = e.vec_id
+  WHERE q.vec_id < 20
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS neg_rank
+  FROM scored
+)
+SELECT query_id, vec_id, CAST(neg_rank AS INT) AS neg_rank,
+       ROUND(cosine, 4) AS cosine_r
+FROM ranked WHERE neg_rank <= 3 ORDER BY query_id, neg_rank
+"""
+)
+
+
+def hard_negatives_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mined hard negatives (similarity.hard_negatives): for anchors
+    vec_id < 20, the exact top-3 most-similar vectors OUTSIDE the
+    anchor's SRP near-dup cluster (the embedding_dup_clusters
+    composition — dedup output as the positive set, its complement
+    ranked for contrastive training). DuckDB recomputes the clusters
+    bit-for-bit and the exclusion-then-rank exactly."""
+    from entitylinking_spark.operators.cc import connected_components
+    from entitylinking_spark.operators.dedup import embedding_near_dup_pairs
+    from entitylinking_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    pairs = embedding_near_dup_pairs(emb, threshold=0.35, n_planes=4, dim=64)
+    edges = pairs.select(
+        F.col("id_l").cast("long").alias("src"),
+        F.col("id_r").cast("long").alias("dst"),
+    )
+    clusters = connected_components(
+        edges, all_ids=emb.select(F.col("vec_id").alias("row_id"))
+    )
+    asg = clusters.select(F.col("row_id").alias("vec_id"), "cluster_id")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = hard_negatives(emb, asg, queries=q, k=3)
+    return out.select(
+        "query_id", "vec_id", "neg_rank",
+        F.round("cosine", 4).alias("cosine_r"),
+    ).orderBy("query_id", "neg_rank")
+
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/X14 embedding top-k: exact cosine top-5 for vec_id < 3 queries."""
@@ -3596,6 +3671,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "url_stats": (url_stats, URL_STATS_SQL),
     "lm_perplexity": (lm_perplexity, LM_PERPLEXITY_SQL),
     "oov_docs": (oov_docs, OOV_DOCS_SQL),
+    "hard_negatives_probe": (hard_negatives_probe, HARD_NEG_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

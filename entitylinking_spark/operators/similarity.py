@@ -427,3 +427,67 @@ def ann_recall_report(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     if metrics is not None:
         metrics.record("ann_recall", **report)
     return report
+
+
+def hard_negatives(embeddings: DataFrame, assignments: DataFrame,
+                   queries: DataFrame | None = None, k: int = 5,
+                   method: str = "exact", retrieve_k: int | None = None,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   cluster_col: str = "cluster_id",
+                   exclude_self: bool = True, **ann_kwargs) -> DataFrame:
+    """Mined hard negatives for contrastive/embedding training: per
+    anchor, the top-k most-similar vectors NOT in the anchor's duplicate
+    cluster (the near-but-not-same examples retriever training wants —
+    dedup output becomes the positive set, this is its complement).
+
+    assignments: (id_col, cluster_col) from ANY dedup operator (semdedup,
+    embedding_dup_clusters, dedup_exact...). queries defaults to the
+    whole corpus.
+
+    method='exact' ranks AFTER the exclusion, so every anchor gets
+    exactly k negatives (fewer only when the corpus runs out) — the
+    brute-force baseline, broadcast-queries shaped like brute_force_topk.
+    method='lsh' goes through lsh_topk_shuffle with retrieve_k
+    (default 4*k + 8) candidates BEFORE exclusion and re-ranks the
+    survivors — the corpus-scale path; an anchor inside a duplicate
+    cluster larger than retrieve_k can come back short (the documented
+    slack trade; raise retrieve_k or dedup first).
+
+    Returns (query_id, vec_id, cosine, neg_rank).
+    """
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"unknown method {method!r}")
+    if queries is None:
+        queries = embeddings.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("embedding")
+        )
+    a_q = assignments.select(
+        F.col(id_col).alias("query_id"), F.col(cluster_col).alias("_qc")
+    )
+    a_v = assignments.select(
+        F.col(id_col).alias("vec_id"), F.col(cluster_col).alias("_vc")
+    )
+    if method == "exact":
+        n = embeddings.count() if retrieve_k is None else retrieve_k
+        cand = brute_force_topk(
+            embeddings, queries, k=n, id_col=id_col, vec_col=vec_col
+        ).drop("rank")
+    else:
+        cand = lsh_topk_shuffle(
+            embeddings, queries, k=retrieve_k or (4 * k + 8),
+            id_col=id_col, vec_col=vec_col, **ann_kwargs
+        ).drop("rank")
+    kept = (
+        cand.join(a_q, "query_id").join(a_v, "vec_id")
+        .filter(F.col("_qc") != F.col("_vc"))
+    )
+    if exclude_self:
+        kept = kept.filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("vec_id")
+    )
+    return (
+        kept.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("query_id", "vec_id", "cosine", "neg_rank")
+    )
