@@ -2979,6 +2979,54 @@ FROM m ORDER BY media_id
 """
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (cleaning.chunk_documents): 24-token windows
+    every 16 tokens with the tail window always emitted — the context-
+    window prep for trainers/retrieval. Pure codegen expressions; DuckDB
+    recomputes every window (starts grid + off-grid tail, slices, space-
+    joined rebuild) verbatim."""
+    from entitylinking_spark.operators.cleaning import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=24, stride=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+DOC_CHUNKS_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                           '[^a-z0-9_]+'),
+                     t -> t <> '') AS ts
+  FROM documents
+),
+st AS (
+  SELECT doc_id, ts,
+         CASE
+           WHEN len(ts) <= 24 THEN [0]
+           WHEN (len(ts) - 24) % 16 = 0 THEN
+             list_transform(range(0, len(ts) - 24 + 1, 16),
+                            x -> CAST(x AS INT))
+           ELSE list_append(
+             list_transform(range(0, len(ts) - 24 + 1, 16),
+                            x -> CAST(x AS INT)),
+             CAST(len(ts) - 24 AS INT))
+         END AS starts
+  FROM tok
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       starts[i + 1] AS chunk_start,
+       CAST(len(list_slice(ts, starts[i + 1] + 1, starts[i + 1] + 24))
+            AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(ts, starts[i + 1] + 1,
+                                  starts[i + 1] + 24), ' ') AS chunk_text
+FROM st, UNNEST(list_transform(range(len(starts)), x -> CAST(x AS INT))) u(i)
+ORDER BY doc_id, chunk_id
+"""
+
+
 def oov_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-coverage check (vocab.oov_rate): per-doc OOV token share
     against the corpus's own top-200 vocabulary (total-ordered tf DESC,
@@ -3672,6 +3720,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "lm_perplexity": (lm_perplexity, LM_PERPLEXITY_SQL),
     "oov_docs": (oov_docs, OOV_DOCS_SQL),
     "hard_negatives_probe": (hard_negatives_probe, HARD_NEG_SQL),
+    "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

@@ -51,6 +51,8 @@ from dataclasses import dataclass
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
+from entitylinking_spark.functions.strings import tokenize
+
 
 def remove_duplicated_lines(docs: DataFrame, min_docs: int = 3,
                             id_col: str = "doc_id",
@@ -557,4 +559,54 @@ def filter_blocked_domains(df: DataFrame, blocklist: DataFrame,
     )
     return df.join(hits, id_col, "left").withColumn(
         "url_blocked", F.coalesce(F.col("url_blocked"), F.lit(False))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-window chunking (context-window prep for training / retrieval)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(docs: DataFrame, size: int = 128, stride: int = 96,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split each document into overlapping token windows of `size`
+    tokens every `stride` tokens — the context-window prep both trainers
+    (fixed-length examples without mid-document truncation loss) and
+    retrieval corpora (passage windows) run. The TAIL window is always
+    emitted (start = n_tokens - size) even when it breaks the stride
+    grid, so every token is covered by at least one chunk.
+
+    Returns (id, chunk_id, chunk_start, n_chunk_tokens, chunk_text) with
+    chunk_text rebuilt space-joined (the tokenize() convention — rebuild
+    is canonical-form, not byte-identical). Docs with <= size tokens
+    yield exactly one chunk; empty/null docs yield one empty chunk row
+    (chunk pruning is a filter on n_chunk_tokens, the caller's policy).
+
+    Plan: pure codegen column expressions (tokenize once, sequence +
+    array_union for starts, explode, slice per chunk) — one scan, zero
+    shuffles at any corpus size, and the DuckDB oracle recomputes every
+    window verbatim (`doc_chunks`).
+    """
+    if size < 1 or stride < 1 or stride > size:
+        raise ValueError("need 1 <= stride <= size")
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n <= size, F.array(F.lit(0))).otherwise(
+        F.array_union(
+            F.sequence(F.lit(0), n - size, F.lit(stride)),
+            F.array(n - size),
+        )
+    )
+    e = docs.select(
+        F.col(id_col), toks.alias("_toks"),
+        F.posexplode_outer(starts).alias("chunk_id", "chunk_start"),
+    )
+    piece = F.slice(F.col("_toks"),
+                    F.coalesce(F.col("chunk_start"), F.lit(0)) + 1, size)
+    return e.select(
+        id_col,
+        F.coalesce(F.col("chunk_id"), F.lit(0)).alias("chunk_id"),
+        F.coalesce(F.col("chunk_start"), F.lit(0)).alias("chunk_start"),
+        F.coalesce(F.size(piece), F.lit(0)).alias("n_chunk_tokens"),
+        F.coalesce(F.array_join(piece, " "), F.lit("")).alias("chunk_text"),
     )

@@ -353,3 +353,45 @@ def test_snapshot_diff(spark):
     assert out[3]["status"] == "removed" and out[3]["new_sha"] == ""
     assert out[4]["status"] == "added" and out[4]["old_sha"] == ""
     assert out[1]["old_sha"] == out[1]["new_sha"] != ""
+
+
+def test_chunk_documents_known_and_coverage(spark):
+    from entitylinking_spark.operators.cleaning import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, size=4, stride=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 10 tokens, starts 0,3,6 + tail 6 (dup) -> 0,3,6
+    c1 = sorted(got[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_start"] for r in c1] == [0, 3, 6]
+    assert c1[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert c1[2]["chunk_text"] == "w6 w7 w8 w9"
+    # coverage: every token index in some [start, start+4)
+    covered = set()
+    for r in c1:
+        covered.update(range(r["chunk_start"], r["chunk_start"] + 4))
+    assert set(range(10)) <= covered
+    # short doc: one whole chunk; empty/null: one empty chunk row
+    assert len(got[2]) == 1 and got[2][0]["chunk_text"] == "a b c"
+    assert len(got[3]) == 1 and got[3][0]["n_chunk_tokens"] == 0
+    assert len(got[4]) == 1 and got[4][0]["chunk_text"] == ""
+
+
+def test_chunk_documents_off_grid_tail(spark):
+    from entitylinking_spark.operators.cleaning import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(11))  # 11 tokens, size 4 stride 3
+    docs = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    rows = sorted(chunk_documents(docs, size=4, stride=3).collect(),
+                  key=lambda r: r["chunk_id"])
+    # grid starts 0,3,6 cover to 9; tail start 7 covers tokens 7..10
+    assert [r["chunk_start"] for r in rows] == [0, 3, 6, 7]
+    assert rows[-1]["chunk_text"] == "w7 w8 w9 w10"
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=4, stride=5)
