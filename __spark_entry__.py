@@ -2979,6 +2979,32 @@ FROM m ORDER BY media_id
 """
 
 
+def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (cleaning.split_sentences): RE2-safe greedy
+    terminator runs, trimmed, empties dropped — DuckDB runs the identical
+    pattern and trim. The adapter that lets remove_duplicated_lines run
+    at C4's true (sentence) unit."""
+    from entitylinking_spark.operators.cleaning import split_sentences
+
+    d = _t(spark, sf_dir, "documents")
+    return split_sentences(d).orderBy("doc_id", "sent_id")
+
+
+DOC_SENTENCES_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                          x -> trim(x)),
+           x -> x <> '') AS sents
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS sent_id, sents[i + 1] AS sentence
+FROM s, UNNEST(list_transform(range(len(sents)), x -> CAST(x AS INT))) u(i)
+ORDER BY doc_id, sent_id
+"""
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking (cleaning.chunk_documents): 24-token windows
     every 16 tokens with the tail window always emitted — the context-
@@ -3721,6 +3747,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "oov_docs": (oov_docs, OOV_DOCS_SQL),
     "hard_negatives_probe": (hard_negatives_probe, HARD_NEG_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
+    "doc_sentences": (doc_sentences, DOC_SENTENCES_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

@@ -610,3 +610,40 @@ def chunk_documents(docs: DataFrame, size: int = 128, stride: int = 96,
         F.coalesce(F.size(piece), F.lit(0)).alias("n_chunk_tokens"),
         F.coalesce(F.array_join(piece, " "), F.lit("")).alias("chunk_text"),
     )
+
+
+def split_sentences(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(id, sent_id, sentence): regex sentence segmentation — greedy runs
+    of non-terminators plus their trailing [.!?]+, trimmed, empties
+    dropped. RE2-safe by construction (no lookbehind), so the DuckDB
+    oracle runs the identical pattern. Documented naivety: abbreviations
+    split ("Dr." ends a sentence) — the C4-class heuristic trade; a real
+    segmenter is a model, not a regex.
+
+    Zero shuffles (extract_all + explode on one scan). Null/empty docs
+    yield no rows (a doc with no sentences has nothing to segment —
+    unlike chunking, there is no windowing contract to preserve)."""
+    sents = F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0))
+    cleaned = F.filter(
+        F.transform(sents, lambda s: F.trim(s)), lambda s: s != ""
+    )
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(cleaned).alias("sent_id", "sentence"),
+    )
+
+
+def resegment_sentences(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        out_col: str = "text_sentences") -> DataFrame:
+    """Rewrite each document as one-sentence-per-line (canonical form —
+    original whitespace is not preserved). The adapter that runs
+    `remove_duplicated_lines` at C4's TRUE unit: C4 §2.2 dedups
+    three-sentence spans, and the line operator's unit is whatever the
+    separator delimits — after this pass, the line IS the sentence."""
+    sents = F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]*"), F.lit(0))
+    cleaned = F.filter(
+        F.transform(sents, lambda s: F.trim(s)), lambda s: s != ""
+    )
+    return docs.withColumn(out_col, F.array_join(cleaned, "\n"))

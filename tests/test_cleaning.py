@@ -395,3 +395,46 @@ def test_chunk_documents_off_grid_tail(spark):
     assert rows[-1]["chunk_text"] == "w7 w8 w9 w10"
     with pytest.raises(ValueError):
         chunk_documents(docs, size=4, stride=5)
+
+
+def test_split_sentences_known(spark):
+    from entitylinking_spark.operators.cleaning import split_sentences
+
+    docs = spark.createDataFrame(
+        [(1, "It was late! Was it?   Yes.  trailing bit"),
+         (2, "Dr. Smith went home."),  # pinned naivety: abbreviation splits
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in split_sentences(docs).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_id"], r["sentence"]))
+    assert [s for _, s in sorted(got[1])] == [
+        "It was late!", "Was it?", "Yes.", "trailing bit"]
+    assert [s for _, s in sorted(got[2])] == ["Dr.", "Smith went home."]
+    assert 3 not in got and 4 not in got
+
+
+def test_sentence_level_c4_dedup_composition(spark):
+    """resegment_sentences + remove_duplicated_lines = C4's sentence-unit
+    dedup: a sentence shared by >= min_docs docs is dropped everywhere."""
+    from entitylinking_spark.operators.cleaning import (
+        remove_duplicated_lines,
+        resegment_sentences,
+    )
+
+    boiler = "Subscribe to our newsletter today!"
+    docs = spark.createDataFrame(
+        [(i, f"Unique thought {i} here. {boiler} More unique text {i}.")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    seg = resegment_sentences(docs).select(
+        "doc_id", F.col("text_sentences").alias("text")
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_lines(seg, min_docs=3).collect()}
+    for i in range(4):
+        assert out[i]["n_dropped"] == 1
+        assert boiler not in out[i]["text_clean"]
+        assert f"Unique thought {i} here." in out[i]["text_clean"]
