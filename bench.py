@@ -170,7 +170,9 @@ def run_bench(sf_dir: str, cpus: int, repetitions: int = 1) -> dict:
         try:
             n = big.count()
             return (
-                semdedup(big, eps=0.98, corpus_count=n)
+                # kernel='arrow' = BLAS pair verify (native==arrow parity
+                # tested; 13.8 -> 6.2 s at 16k vectors, sf0.1)
+                semdedup(big, eps=0.98, corpus_count=n, kernel="arrow")
                 .agg(F.sum(F.col("is_kept").cast("long")))
                 .collect()
             )

@@ -142,3 +142,14 @@ def test_fit_centroids_path_and_empty_and_single(spark, emb):
 def test_bad_keep_policy_raises(spark, emb):
     with pytest.raises(ValueError):
         semdedup(emb, eps=0.9, n_cells=2, keep="random")
+
+
+def test_arrow_kernel_matches_native(spark, emb):
+    cents = seed_centroids(emb, 8)
+    a = sorted(map(tuple, semdedup(emb, eps=0.9, centroids=cents).collect()))
+    b = sorted(map(tuple,
+                   semdedup(emb, eps=0.9, centroids=cents,
+                            kernel="arrow").collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        semdedup(emb, eps=0.9, centroids=cents, kernel="gpu").collect()
