@@ -283,6 +283,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
                              dim: int | None = None,
                              corpus_count: int | None = None,
                              skip_block_threshold: int | None = None,
+                             kernel: str = "native",
                              metrics=None) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-bucketed by random-hyperplane
     sign bits. The bucket self-join goes through `candidate_pairs` so a
@@ -352,11 +353,37 @@ def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
             **metrics.block_stats(census, block_cap, skip_block_threshold),
         )
     pairs = candidate_pairs(blocks, cfg, census=census)
-    vl = d.select(F.col("row_id").alias("id_l"), F.col("vec").alias("v_l"))
-    vr = d.select(F.col("row_id").alias("id_r"), F.col("vec").alias("v_r"))
+    base = d.select("row_id", "vec")
+    # kernel='native' (default) keeps the bit-exact JVM fold the DuckDB
+    # oracle recomputes; 'arrow' is the BLAS pair path (_cosine_edges note)
+    if kernel not in ("native", "arrow"):
+        raise ValueError(f"unknown kernel {kernel!r}")
+    if kernel == "native":
+        vl = base.select(F.col("row_id").alias("id_l"), F.col("vec").alias("v_l"))
+        vr = base.select(F.col("row_id").alias("id_r"), F.col("vec").alias("v_r"))
+        return (
+            pairs.join(vl, "id_l").join(vr, "id_r")
+            .select("id_l", "id_r",
+                    cosine_sim(F.col("v_l"), F.col("v_r")).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+    from entitylinking_spark.operators.similarity import _dot_arrow, norm
+
+    vl = base.select(
+        F.col("row_id").alias("id_l"), F.col("vec").alias("v_l")
+    ).withColumn("_nl", norm(F.col("v_l")))
+    vr = base.select(
+        F.col("row_id").alias("id_r"), F.col("vec").alias("v_r")
+    ).withColumn("_nr", norm(F.col("v_r")))
+    denom = F.col("_nl") * F.col("_nr")
     return (
         pairs.join(vl, "id_l").join(vr, "id_r")
-        .select("id_l", "id_r", cosine_sim(F.col("v_l"), F.col("v_r")).alias("cosine"))
+        .withColumn("_dot", _dot_arrow(F.col("v_l"), F.col("v_r")))
+        .select(
+            "id_l", "id_r",
+            F.when(denom == 0, F.lit(0.0))
+            .otherwise(F.col("_dot") / denom).alias("cosine"),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

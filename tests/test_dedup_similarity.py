@@ -258,3 +258,24 @@ def test_cluster_representatives_policies(spark):
     worst = {r["doc_id"]: r["rep_id"] for r in cluster_representatives(
         assign, feats, "quality", ascending=True).collect()}
     assert worst[1] == 1 and worst[4] == 5
+
+
+def test_near_dup_arrow_kernel_matches_native(spark):
+    import numpy as np
+
+    from entitylinking_spark.operators.dedup import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(5, 12))
+    rows = []
+    for i in range(40):
+        v = base[i % 5] + rng.normal(scale=0.01, size=12)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=3, dim=12).collect()))
+    b = sorted(map(tuple, embedding_near_dup_pairs(
+        emb, threshold=0.9, n_planes=3, dim=12, kernel="arrow").collect()))
+    # identical pair sets; cosine values equal to float tolerance
+    assert [x[:2] for x in a] == [x[:2] for x in b]
+    assert all(abs(x[2] - y[2]) < 1e-12 for x, y in zip(a, b))
