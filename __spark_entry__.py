@@ -2979,6 +2979,28 @@ FROM m ORDER BY media_id
 """
 
 
+def heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (vocab.heavy_hitters): tokens with
+    >= 80 corpus occurrences and their EXACT counts. The sketch only
+    prunes (CMS never underestimates -> no false negatives), so the
+    output equals the plain GROUP BY ... HAVING answer DuckDB computes —
+    the 10^12-row win is the shuffle carrying candidate occurrences,
+    not the vocabulary."""
+    from entitylinking_spark.operators.vocab import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    return heavy_hitters(d, min_count=80).orderBy("token")
+
+
+HEAVY_TOKENS_SQL = """
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM documents,
+     UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                        x -> x <> '')) u(t)
+GROUP BY t HAVING COUNT(*) >= 80 ORDER BY token
+"""
+
+
 def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation (cleaning.split_sentences): RE2-safe greedy
     terminator runs, trimmed, empties dropped — DuckDB runs the identical
@@ -3748,6 +3770,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "hard_negatives_probe": (hard_negatives_probe, HARD_NEG_SQL),
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "doc_sentences": (doc_sentences, DOC_SENTENCES_SQL),
+    "heavy_tokens": (heavy_tokens, HEAVY_TOKENS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

@@ -28,6 +28,7 @@ Scale design:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from entitylinking_spark.functions.strings import tokenize
@@ -191,3 +192,102 @@ def oov_rate(docs: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
                    F.col("n_oov") / F.col("n_tokens")),
         )
     )
+
+
+def _cms_hash(tokens, depth: int, width: int):
+    """Deterministic per-row CMS bucket indices: zlib.crc32 with a per-row
+    salt prefix — C-speed per token (the per-byte-python discipline), and
+    since the operator contract is exact output, the hash never needs an
+    engine twin."""
+    import zlib
+
+    import numpy as np
+
+    out = np.empty((depth, len(tokens)), dtype=np.int64)
+    enc = [t.encode() for t in tokens]
+    for r in range(depth):
+        salt = b"cms%d:" % r
+        out[r] = [zlib.crc32(salt + t) % width for t in enc]
+    return out
+
+
+def heavy_hitters(docs: DataFrame, min_count: int,
+                  text_col: str = "text",
+                  width: int = 1 << 18, depth: int = 4) -> DataFrame:
+    """All tokens occurring >= min_count times, with EXACT counts — via a
+    count-min sketch prefilter (Cormode & Muthukrishnan 2005) so the
+    final shuffle carries only CANDIDATE occurrences, never the full
+    vocabulary.
+
+    Three passes, two corpus scans:
+      1. per-partition CMS partial sums (mapInPandas, np.add.at), merged
+         by summation on the driver — depth x width int64 (4x256k = 8 MB
+         default), the same partial-aggregation shape as
+         embeddings.quantized_moment_sums;
+      2. map-side candidate filter: the merged sketch broadcasts and a
+         token survives only if min(row estimates) >= min_count;
+      3. exact groupBy COUNT of the survivors (the only shuffle) and the
+         exact >= min_count cut.
+
+    CMS never underestimates, so step 2 has NO false negatives and the
+    output EQUALS the exact answer (the DuckDB oracle recomputes it with
+    a plain GROUP BY) — the sketch only changes how much shuffles: false
+    positives cost extra rows in pass 3, bounded by the classic eps =
+    e/width overestimate. Use when min_count-frequent tokens are rare
+    next to the vocabulary (the 10^12-row case: a full-vocab shuffle
+    dwarfs two map passes).
+    """
+    import numpy as np
+
+    if min_count < 1 or depth < 1 or width < 8:
+        raise ValueError("need min_count >= 1, depth >= 1, width >= 8")
+
+    def partials(batches):
+        sk = np.zeros((depth, width), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            toks = [t for s in pdf[text_col].fillna("")
+                    for t in _py_tokens(s)]
+            if toks:
+                seen = True
+                idx = _cms_hash(toks, depth, width)
+                for r in range(depth):
+                    np.add.at(sk[r], idx[r], 1)
+        if seen:
+            yield pd.DataFrame({"r": list(range(depth)),
+                                "sk": [row.tolist() for row in sk]})
+
+    parts = docs.mapInPandas(partials, f"r int, sk array<long>").collect()
+    sketch = np.zeros((depth, width), dtype=np.int64)
+    for row in parts:
+        sketch[row["r"]] += np.asarray(row["sk"], dtype=np.int64)
+
+    @F.pandas_udf("array<string>")
+    def survivors(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            toks = _py_tokens(s or "")
+            if not toks:
+                out.append([])
+                continue
+            uniq = sorted(set(toks))
+            idx = _cms_hash(uniq, depth, width)
+            est = sketch[np.arange(depth)[:, None], idx].min(axis=0)
+            keep = {u for u, e in zip(uniq, est) if e >= min_count}
+            out.append([t for t in toks if t in keep])
+        return pd.Series(out)
+
+    return (
+        docs.select(F.explode(survivors(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def _py_tokens(text: str) -> list[str]:
+    """Python twin of strings.tokenize (see bpe._py_tokenize: re.ASCII
+    matches Java's ASCII-only \\w)."""
+    import re
+
+    return [w for w in re.split(r"[^\w]+", text.lower(), flags=re.ASCII) if w]

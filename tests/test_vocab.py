@@ -153,3 +153,38 @@ def test_bpe_fertility_composition(spark):
     )
     assert out["n_words"] == 30
     assert 1.0 <= out["fertility"] <= 3.0
+
+
+def test_heavy_hitters_equals_exact_counts(spark):
+    from entitylinking_spark.operators.vocab import heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(i, "common words here " + ("popular " * (i % 3)) + f"rare{i}")
+         for i in range(30)] + [(99, ""), (100, None)],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["token"], r["n"])
+        for r in docs.select(
+            F.explode(F.array_remove(
+                F.split(F.lower("text"), r"[^\w]+"), "")).alias("token"))
+        .groupBy("token").count().withColumnRenamed("count", "n")
+        .filter("n >= 10").collect()
+    }
+    for width in (1 << 16, 8):  # 8 buckets = heavy collisions on purpose
+        got = {(r["token"], r["n"])
+               for r in heavy_hitters(docs, 10, width=width).collect()}
+        assert got == exact, width
+
+
+def test_heavy_hitters_validation(spark):
+    from entitylinking_spark.operators.vocab import heavy_hitters
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        heavy_hitters(docs, 0)
+    with _pt.raises(ValueError):
+        heavy_hitters(docs, 2, width=4)
+    # empty corpus: no partials, empty result
+    assert heavy_hitters(docs.filter("doc_id < 0"), 2).count() == 0
