@@ -2979,6 +2979,63 @@ FROM m ORDER BY media_id
 """
 
 
+def tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF featurization (vocab.tfidf_vectors) in sparse row form:
+    every document's nonzero components over the top-50 vocabulary,
+    re-labeled with their tokens. DuckDB recomputes vocab, tf, idf, the
+    per-doc l2 norm and each component (6dp — transcendental tail)."""
+    from entitylinking_spark.operators.vocab import tfidf_vectors, vocabulary
+
+    d = _t(spark, sf_dir, "documents")
+    v = vocabulary(d, max_vocab=50)
+    toks = sorted(r["token"] for r in v.select("token").collect())
+    out = tfidf_vectors(d, v)
+    names = F.array(*[F.lit(t) for t in toks])
+    return (
+        out.select(
+            "doc_id", F.posexplode("tfidf").alias("_p", "val")
+        )
+        .filter(F.col("val") != 0.0)
+        .select(
+            "doc_id",
+            F.element_at(names, F.col("_p") + 1).alias("token"),
+            F.round("val", 6).alias("val_r"),
+        )
+        .orderBy("doc_id", "token")
+    )
+
+
+TFIDF_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, t AS token
+  FROM documents,
+       UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'),
+                          x -> x <> '')) u(t)
+),
+vc AS (
+  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM toks GROUP BY token
+),
+nn AS (SELECT COUNT(*) AS n FROM documents),
+vocab AS (
+  SELECT token, ln((n + 1.0) / (df + 1.0)) + 1.0 AS idf
+  FROM vc, nn ORDER BY tf DESC, token LIMIT 50
+),
+dt AS (
+  SELECT tk.doc_id, tk.token, COUNT(*) AS tf, ANY_VALUE(v.idf) AS idf
+  FROM toks tk JOIN vocab v ON v.token = tk.token
+  GROUP BY tk.doc_id, tk.token
+),
+nrm AS (
+  SELECT doc_id, sqrt(SUM(tf * idf * tf * idf)) AS l2 FROM dt GROUP BY doc_id
+)
+SELECT dt.doc_id, dt.token,
+       ROUND(dt.tf * dt.idf / nrm.l2, 6) AS val_r
+FROM dt JOIN nrm USING (doc_id)
+ORDER BY dt.doc_id, dt.token
+"""
+
+
 def heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (vocab.heavy_hitters): tokens with
     >= 80 corpus occurrences and their EXACT counts. The sketch only
@@ -3771,6 +3828,7 @@ _ORACLE_CHECKED: dict[str, tuple[Callable, str]] = {
     "doc_chunks": (doc_chunks, DOC_CHUNKS_SQL),
     "doc_sentences": (doc_sentences, DOC_SENTENCES_SQL),
     "heavy_tokens": (heavy_tokens, HEAVY_TOKENS_SQL),
+    "tfidf_terms": (tfidf_terms, TFIDF_TERMS_SQL),
 }
 
 _ROWS_ONLY: dict[str, Callable] = {}

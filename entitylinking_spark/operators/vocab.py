@@ -291,3 +291,58 @@ def _py_tokens(text: str) -> list[str]:
     import re
 
     return [w for w in re.split(r"[^\w]+", text.lower(), flags=re.ASCII) if w]
+
+
+def tfidf_vectors(docs: DataFrame, vocab: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  token_col: str = "token", idf_col: str = "idf",
+                  l2_normalize: bool = True) -> DataFrame:
+    """Dense TF-IDF document vectors over a FIXED vocabulary frame — the
+    classical no-model featurization that bridges the text operators
+    into the embedding stack (pca_fit/pca_project, ivf_topk,
+    lsh_topk_shuffle, semdedup all take the output directly).
+
+    vocab: (token_col, idf_col) — e.g. `vocabulary(...)` pruned to top-K
+    by the caller (dimension = vocab row count; keep it dimension-sized:
+    the vector is DENSE). Tokens outside the vocab are ignored. Returns
+    (id, n_tokens, tfidf array<double>) with component order = vocab
+    tokens sorted ascending (deterministic, engine-independent).
+
+    Plan: the vocab broadcasts as a python dict into ONE Arrow map pass
+    (np.add.at per batch) — zero shuffles; tf is the raw occurrence
+    count, scaled by idf, optionally l2-normalized.
+    """
+    rows = vocab.select(token_col, idf_col).collect()
+    if not rows:
+        raise ValueError("empty vocabulary — nothing to featurize")
+    toks = sorted(r[token_col] for r in rows)
+    pos = {t: i for i, t in enumerate(toks)}
+    idf = {r[token_col]: float(r[idf_col]) for r in rows}
+    import numpy as np
+
+    idf_vec = np.array([idf[t] for t in toks], dtype=np.float64)
+    k = len(toks)
+
+    @F.pandas_udf("array<double>")
+    def feat(texts: pd.Series) -> pd.Series:
+        out = []
+        for s in texts:
+            v = np.zeros(k, dtype=np.float64)
+            ts = _py_tokens(s or "")
+            ix = [pos[t] for t in ts if t in pos]
+            if ix:
+                np.add.at(v, ix, 1.0)
+                v *= idf_vec
+                if l2_normalize:
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        v /= n
+            out.append(v.tolist())
+        return pd.Series(out)
+
+    toks_expr = tokenize(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.coalesce(F.size(toks_expr), F.lit(0)).alias("n_tokens"),
+        feat(F.col(text_col)).alias("tfidf"),
+    )

@@ -188,3 +188,50 @@ def test_heavy_hitters_validation(spark):
         heavy_hitters(docs, 2, width=4)
     # empty corpus: no partials, empty result
     assert heavy_hitters(docs.filter("doc_id < 0"), 2).count() == 0
+
+
+def test_tfidf_vectors_known_and_ann_loop(spark):
+    import math
+
+    import numpy as np
+
+    from entitylinking_spark.operators.ivf import ivf_topk, seed_centroids
+    from entitylinking_spark.operators.vocab import tfidf_vectors, vocabulary
+
+    docs = spark.createDataFrame(
+        [(0, "cat cat dog"), (1, "dog dog fish"), (2, "cat dog fish bird"),
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    v = vocabulary(docs, n_docs=5)
+    got = {r["doc_id"]: r for r in tfidf_vectors(docs, v).collect()}
+    idf = {r["token"]: r["idf"] for r in v.collect()}
+    toks = sorted(idf)  # component order contract
+    # hand-check doc 0: tf(cat)=2, tf(dog)=1, l2-normalized
+    raw = np.array([(2.0 if t == "cat" else 1.0 if t == "dog" else 0.0)
+                    * idf[t] for t in toks])
+    want = raw / np.linalg.norm(raw)
+    np.testing.assert_allclose(got[0]["tfidf"], want, rtol=1e-12)
+    assert math.isclose(np.linalg.norm(got[2]["tfidf"]), 1.0, rel_tol=1e-12)
+    assert got[3]["tfidf"] == [0.0] * len(toks)
+    assert got[4]["tfidf"] == [0.0] * len(toks)
+
+    # the loop: tfidf -> IVF ANN retrieves the lexically nearest doc
+    emb = tfidf_vectors(docs, v).select(
+        F.col("doc_id").alias("vec_id"), F.col("tfidf").alias("embedding"))
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    cents = seed_centroids(emb, 2)
+    top = ivf_topk(emb, q, k=2, centroids=cents, nprobe=2).collect()
+    ranked = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert ranked[0] == 0 and ranked[1] == 2  # shares cat AND dog
+
+
+def test_tfidf_empty_vocab_raises(spark):
+    from entitylinking_spark.operators.vocab import tfidf_vectors
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    vocab = spark.createDataFrame([], "token string, idf double")
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        tfidf_vectors(docs, vocab)
