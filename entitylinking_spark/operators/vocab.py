@@ -254,13 +254,26 @@ def heavy_hitters(docs: DataFrame, min_count: int,
                 for r in range(depth):
                     np.add.at(sk[r], idx[r], 1)
         if seen:
-            yield pd.DataFrame({"r": list(range(depth)),
-                                "sk": [row.tolist() for row in sk]})
+            r_ix, p_ix = np.nonzero(sk)
+            yield pd.DataFrame({"r": r_ix.astype("int32"),
+                                "pos": p_ix.astype("int64"),
+                                "v": sk[r_ix, p_ix]})
 
-    parts = docs.mapInPandas(partials, f"r int, sk array<long>").collect()
+    # merge the per-partition partials IN SPARK (slim nonzero cells,
+    # one map-side-combined sum) and collect only the MERGED sketch:
+    # driver memory is O(depth*width), independent of the partition
+    # count — collecting raw per-partition sketches would be
+    # O(partitions*width) (10k partitions x 2 MB = 20 GB; the
+    # quantized_moment_sums discipline)
+    merged = (
+        docs.mapInPandas(partials, "r int, pos long, v long")
+        .groupBy("r", "pos").agg(F.sum("v").alias("v"))
+        .toPandas()
+    )
     sketch = np.zeros((depth, width), dtype=np.int64)
-    for row in parts:
-        sketch[row["r"]] += np.asarray(row["sk"], dtype=np.int64)
+    if len(merged):
+        sketch[merged["r"].to_numpy(), merged["pos"].to_numpy()] = \
+            merged["v"].to_numpy()
 
     @F.pandas_udf("array<string>")
     def survivors(texts: pd.Series) -> pd.Series:
