@@ -342,32 +342,45 @@ def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
     # dedup_minhash_lsh fixed with persist). The vector side (vl/vr) never
     # needs the UDF: column pruning drops block_key from those scans.
     blocks = d.select("block_key", "row_id").localCheckpoint(eager=True)
-    census = None
-    if metrics is not None:
-        from entitylinking_spark.operators.blocking import block_census
+    from entitylinking_spark.operators.blocking import block_census
+    from entitylinking_spark.operators.similarity import norm
 
-        census = block_census(blocks)
+    # the census now always runs (it decides the small/hot split below);
+    # it is block-count sized, so the checkpoint is one tiny job
+    census = block_census(blocks).localCheckpoint(eager=True)
+    if metrics is not None:
         metrics.record(
             "near_dup_buckets", n_planes=n_planes, block_cap=block_cap,
             skip_block_threshold=skip_block_threshold,
             **metrics.block_stats(census, block_cap, skip_block_threshold),
         )
-    pairs = candidate_pairs(blocks, cfg, census=census)
-    base = d.select("row_id", "vec")
-    # kernel='native' (default) keeps the bit-exact JVM fold the DuckDB
-    # oracle recomputes; 'arrow' is the BLAS pair path (_cosine_edges note)
     if kernel not in ("native", "arrow"):
         raise ValueError(f"unknown kernel {kernel!r}")
+    base = d.select("row_id", "vec")
+    # Round 6 (guide §2.3/§4.2): buckets that fit one task (size <=
+    # block_cap — the overwhelmingly common case under auto-sized planes)
+    # are scored as ONE grouped numpy kernel per bucket; no pair rows, no
+    # per-pair vector joins, no (id_l, id_r) dedup shuffle. Cosines are
+    # bit-identical to the 'native' fold (see _grouped_cosine_pairs), so
+    # both kernel modes share the grouped path. Hot buckets (> block_cap)
+    # keep the salted candidate_pairs path with the per-pair kernels.
+    small, hot, has_hot = _split_blocks_by_cap(blocks, census, cfg.block_cap)
+    members = small.join(base, "row_id").withColumn("_n", norm(F.col("vec")))
+    out = _grouped_cosine_pairs(members, threshold)
+    if not has_hot:
+        return out
+    pairs = candidate_pairs(hot, cfg, census=census)
     if kernel == "native":
         vl = base.select(F.col("row_id").alias("id_l"), F.col("vec").alias("v_l"))
         vr = base.select(F.col("row_id").alias("id_r"), F.col("vec").alias("v_r"))
-        return (
+        hot_out = (
             pairs.join(vl, "id_l").join(vr, "id_r")
             .select("id_l", "id_r",
                     cosine_sim(F.col("v_l"), F.col("v_r")).alias("cosine"))
             .filter(F.col("cosine") >= threshold)
         )
-    from entitylinking_spark.operators.similarity import _dot_arrow, norm
+        return out.unionByName(hot_out)
+    from entitylinking_spark.operators.similarity import _dot_arrow
 
     vl = base.select(
         F.col("row_id").alias("id_l"), F.col("vec").alias("v_l")
@@ -376,7 +389,7 @@ def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
         F.col("row_id").alias("id_r"), F.col("vec").alias("v_r")
     ).withColumn("_nr", norm(F.col("v_r")))
     denom = F.col("_nl") * F.col("_nr")
-    return (
+    hot_out = (
         pairs.join(vl, "id_l").join(vr, "id_r")
         .withColumn("_dot", _dot_arrow(F.col("v_l"), F.col("v_r")))
         .select(
@@ -386,6 +399,86 @@ def embedding_near_dup_pairs(embeddings: DataFrame, id_col: str = "vec_id",
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return out.unionByName(hot_out)
+
+
+def _grouped_cosine_pairs(members: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs cosine over SMALL blocks (size <= block_cap) as ONE
+    grouped numpy kernel per block, emitting only pairs with cosine >=
+    threshold — (id_l, id_r, cosine) with id_l < id_r in UTF8-byte order,
+    exactly the orientation candidate_pairs' string comparison produces.
+
+    Round 6: the candidate_pairs -> join(vec_l) -> join(vec_r) -> per-pair
+    kernel chain materialized every within-block pair as a row carrying
+    BOTH vectors (at sf1.0's semdedup that is ~30M pair rows x ~1 KB
+    through two shuffles plus the (id_l, id_r) dedup shuffle). For a block
+    that fits one task there is no reason to materialize pairs at all:
+    group the members, compute the block's cosine matrix in numpy, emit
+    the surviving edges (guide §2.3/§4.2). Pair SET and cosine VALUES are
+    unchanged: every unordered within-block pair is enumerated exactly
+    once (rows live in exactly one block in the semdedup/near-dup
+    blockings), and the dot is `similarity._jvm_exact_dots` — bit-identical
+    to the JVM fold `cosine_sim` evaluates per pair. Blocks larger than
+    block_cap keep the salted candidate_pairs path (task-size bound).
+
+    members: (block_key, row_id, vec, _n) with _n = JVM norm per row.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from entitylinking_spark.operators.similarity import (
+        _id_order_key,
+        _jvm_exact_dots,
+        _stack_vecs,
+    )
+
+    out_schema = T.StructType([
+        T.StructField("id_l", T.StringType()),
+        T.StructField("id_r", T.StringType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_l": [], "id_r": [], "cosine": []})
+        rid = pdf["row_id"].to_numpy()
+        order = np.argsort(_id_order_key(rid), kind="stable")
+        rid = rid[order]
+        V = _stack_vecs(pdf["vec"].to_numpy()[order])
+        nn = pdf["_n"].to_numpy().astype(np.float64, copy=False)[order]
+        dots = _jvm_exact_dots(V, V)
+        denom = nn[:, None] * nn[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0.0, 0.0, dots / denom)
+        iu, ju = np.triu_indices(n, k=1)
+        cu = cos[iu, ju]
+        keep = cu >= threshold
+        return pd.DataFrame({
+            "id_l": rid[iu[keep]],
+            "id_r": rid[ju[keep]],
+            "cosine": cu[keep],
+        })
+
+    return members.groupBy("block_key").applyInPandas(edges, out_schema)
+
+
+def _split_blocks_by_cap(blocks: DataFrame, census: DataFrame,
+                         cap: int) -> tuple[DataFrame, DataFrame, bool]:
+    """(small_blocks, hot_blocks, has_hot): blocks of size (1, cap] go to
+    the grouped all-pairs kernel; blocks above cap keep the salted
+    candidate_pairs path. has_hot is decided by one tiny census probe so
+    the hot branch's plan is only built when hot blocks exist."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    sized = blocks.join(census, "block_key")
+    small = sized.filter(
+        (F.col("block_size") > 1) & (F.col("block_size") <= cap)
+    ).select("block_key", "row_id")
+    hot = sized.filter(F.col("block_size") > cap).select("block_key", "row_id")
+    has_hot = census.filter(F.col("block_size") > cap).limit(1).count() > 0
+    return small, hot, has_hot
 
 
 def _cosine_edges(pairs: DataFrame, base: DataFrame, threshold: float,
@@ -489,6 +582,8 @@ def semdedup(embeddings: DataFrame, eps: float = 0.9,
 
     if keep not in ("far", "near", "min_id"):
         raise ValueError(f"unknown keep policy {keep!r}")
+    if kernel not in ("native", "arrow"):
+        raise ValueError(f"unknown kernel {kernel!r}")
     if centroids is None:
         if corpus_count is None:
             corpus_count = embeddings.count()
@@ -515,20 +610,37 @@ def semdedup(embeddings: DataFrame, eps: float = 0.9,
         F.col("cell").cast("string").alias("block_key"), "row_id"
     )
     cfg = ERConfig(block_cap=cell_cap, skip_block_threshold=skip_block_threshold)
-    census = None
-    if metrics is not None:
-        from entitylinking_spark.operators.blocking import block_census
+    from entitylinking_spark.operators.blocking import block_census
+    from entitylinking_spark.operators.similarity import norm
 
-        census = block_census(blocks)
+    # census always runs now: it drives the small/hot cell split (below)
+    # as well as the metrics report; cell-count sized, one tiny job
+    census = block_census(blocks).localCheckpoint(eager=True)
+    if metrics is not None:
         metrics.record(
             "semdedup_cells", n_cells=len(centroids), cell_cap=cell_cap,
             skip_block_threshold=skip_block_threshold,
             **metrics.block_stats(census, cell_cap, skip_block_threshold),
         )
-    pairs = candidate_pairs(blocks, cfg, census=census)
-    edges = _cosine_edges(pairs, base, eps, kernel).select(
+    # Round 6 (guide §2.3/§4.2): cells that fit one task (size <= cell_cap)
+    # — under auto_n_cells that is every non-degenerate cell — are scored
+    # as one grouped numpy kernel per cell instead of materializing every
+    # within-cell pair with both vectors through candidate_pairs + two
+    # joins (~30M x ~1 KB pair rows at the sf1.0 bench, 90% of its 378 s).
+    # Edge set and cosine decisions are unchanged (_grouped_cosine_pairs
+    # note); degenerate hot cells keep the salted candidate_pairs path.
+    small, hot, has_hot = _split_blocks_by_cap(blocks, census, cell_cap)
+    members = small.join(base, "row_id").withColumn("_n", norm(F.col("vec")))
+    edges = _grouped_cosine_pairs(members, eps).select(
         F.col("id_l").alias("src"), F.col("id_r").alias("dst")
     )
+    if has_hot:
+        pairs = candidate_pairs(hot, cfg, census=census)
+        edges = edges.unionByName(
+            _cosine_edges(pairs, base, eps, kernel).select(
+                F.col("id_l").alias("src"), F.col("id_r").alias("dst")
+            )
+        )
     clusters = connected_components(edges, all_ids=keyed.select("row_id"))
     assigned = clusters.join(keyed, "row_id")
     if keep == "min_id":

@@ -45,7 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
-from .similarity import _SRP_QUANT, _dot_arrow, dot, norm, salt_hot_blocks
+from .similarity import _SRP_QUANT, norm, salt_hot_blocks
 
 _QUANT = _SRP_QUANT  # 2**12: exact scaling of float32/64 in double
 
@@ -213,20 +213,20 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
     )
 
-    # kernel: 'native' = JVM fold, bit-exact sequential sum (the DuckDB
-    # oracle twin); 'arrow' = batched BLAS einsum for pair-heavy runs
-    # (last-ulp sum-order differences — similarity.py note)
-    if kernel == "arrow":
-        dot_pair = _dot_arrow(F.col("_vec"), F.col("_qvec"))
-    else:
-        dot_pair = dot(F.col("_vec"), F.col("_qvec"))
-    denom = F.col("_n") * F.col("_qn")
-    scored = corp.join(q, ["cell", "salt"]).select(
-        "query_id", "vec_id",
-        F.when(denom == 0, F.lit(0.0))
-        .otherwise(dot_pair / denom).alias("cosine"),
-    )
+    # Round 6: same rewrite as lsh_topk_shuffle — the cell equi-join used
+    # to materialize every (query, corpus) pair row with both vectors and
+    # evaluate the dot per pair (25M+ pair rows at sf1.0, 96% of the
+    # query's 219 s). One cogrouped numpy kernel per (cell, salt) block
+    # now computes bit-identical cosines and emits only per-group top-k;
+    # `kernel` is kept for API stability (both modes take this path).
     # probed cells are disjoint (each corpus row is in exactly one cell):
     # no (query_id, vec_id) dedup needed before ranking
+    from .similarity import _cogrouped_topk
+
+    cand = _cogrouped_topk(
+        corp.select("cell", "salt", "vec_id", "_vec", "_n"),
+        q.select("cell", "salt", "query_id", "_qvec", "_qn"),
+        ["cell", "salt"], k,
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -227,6 +227,131 @@ def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
 
+def _stack_vecs(cells) -> np.ndarray:
+    """(n, dim) matrix from a pandas object column of Arrow list values,
+    PRESERVING the element dtype (float32 stays float32) so kernel
+    arithmetic can reproduce the JVM's per-element rounding exactly."""
+    first = cells[0]
+    if isinstance(first, np.ndarray):
+        return np.stack(cells)
+    return np.array(list(cells), dtype=np.float64)
+
+
+def _jvm_exact_dots(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(nq, d) x (nc, d) -> (nq, nc) float64 dot products BIT-IDENTICAL to
+    the interpreted JVM fold `dot()`: each per-element product is computed
+    in the INPUT element type (float32 inputs round every product to
+    float32, exactly like Spark's float*float), then accumulated into a
+    float64 in ascending dimension order (the fold's sequential sum; a
+    BLAS matmul/einsum would reassociate the sum and drift in the last
+    ulp). Vectorized across all pairs, so it runs at numpy speed — the
+    guide-§4 replacement for evaluating the fold once per candidate pair
+    — while changing NOTHING about the computed values."""
+    if Q.dtype != C.dtype:
+        # mixed float32/float64 sides: Spark promotes both to double
+        # before multiplying (float32 -> float64 is exact)
+        Q = Q.astype(np.float64)
+        C = C.astype(np.float64)
+    nq, d = Q.shape
+    nc = C.shape[0]
+    acc = np.zeros((nq, nc), dtype=np.float64)
+    if d == 0 or nq == 0 or nc == 0:
+        return acc
+    prod = np.empty((nq, nc), dtype=Q.dtype)
+    for j in range(d):
+        np.multiply(Q[:, j, None], C[None, :, j], out=prod)
+        acc += prod
+    return acc
+
+
+def _id_order_key(ids: np.ndarray) -> np.ndarray:
+    """Sort key matching Spark's ordering for the id column: UTF8 byte
+    order for strings (Spark compares UTF8String bytes; Python compares
+    code points — encode so both agree beyond ASCII), natural order for
+    numerics."""
+    if ids.dtype == object:
+        return np.array(
+            [s.encode("utf-8") if isinstance(s, str) else s for s in ids],
+            dtype=object,
+        )
+    return ids
+
+
+def _cogrouped_topk(corp: DataFrame, q: DataFrame, keys: list[str],
+                    k: int) -> DataFrame:
+    """Per-block candidate scorer for the shuffled ANN joins: replaces
+      corp.join(q, keys).select(cosine per pair)  ->  full rank window
+    with ONE cogrouped Arrow kernel per (bucket/cell, salt) group that
+    scores the group's query x corpus block as a matrix and emits only
+    each query's per-group top-k (guide §2.3 "shuffle keys and metadata,
+    not payloads" + §4.2 "hand whole batches to vectorized native code").
+
+    Wins over the join form, measured at sf1.0 (20k x 20k, 256 buckets):
+      * the pair rows (14M+ of them, each carrying BOTH ~512 B vectors)
+        are never materialized — the join projected them all through an
+        interpreted higher-order fold;
+      * the rank-window Exchange shrinks from every scored pair to at
+        most (probes x k) rows per query.
+
+    Correctness: cosine = when(denom == 0, 0.0, dot/denom) with dot from
+    `_jvm_exact_dots` — bit-identical to the JVM fold the join projected —
+    and per-group selection uses the window's exact order (cosine DESC,
+    id ASC by Spark semantics). A row of the true global top-k ranks <= k
+    inside its own group (its group candidates are a subset of its global
+    candidates), so the union of per-group top-k lists contains the global
+    top-k and the downstream window returns identical rows and ranks.
+
+    corp: (*keys, vec_id, _vec, _n); q: (*keys, query_id, _qvec, _qn).
+    Returns (query_id, vec_id, cosine) candidates.
+    """
+    out_schema = T.StructType([
+        T.StructField("query_id", q.schema["query_id"].dataType),
+        T.StructField("vec_id", corp.schema["vec_id"].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(cdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0 or len(qdf) == 0:
+            return pd.DataFrame({"query_id": [], "vec_id": [], "cosine": []})
+        vid = cdf["vec_id"].to_numpy()
+        order = np.argsort(_id_order_key(vid), kind="stable")
+        vid = vid[order]
+        C = _stack_vecs(cdf["_vec"].to_numpy()[order])
+        cn = cdf["_n"].to_numpy().astype(np.float64, copy=False)[order]
+        nc = len(vid)
+        kk = min(k, nc)
+        qid_all = qdf["query_id"].to_numpy()
+        qn_all = qdf["_qn"].to_numpy().astype(np.float64, copy=False)
+        qvec_all = qdf["_qvec"].to_numpy()
+        qids_out, vids_out, cos_out = [], [], []
+        # bound the (chunk x nc) score matrix to ~16 MB however large the
+        # group's query fan-in is
+        chunk = max(1, int(2_000_000 // max(nc, 1)))
+        for s in range(0, len(qid_all), chunk):
+            Qm = _stack_vecs(qvec_all[s:s + chunk])
+            dots = _jvm_exact_dots(Qm, C)
+            denom = qn_all[s:s + chunk, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0.0, 0.0, dots / denom)
+            # stable argsort of -cosine over corpus pre-sorted by id ==
+            # the window's (cosine DESC, id ASC) order
+            sel = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            qids_out.append(np.repeat(qid_all[s:s + chunk], kk))
+            vids_out.append(vid[sel].ravel())
+            cos_out.append(np.take_along_axis(cos, sel, axis=1).ravel())
+        return pd.DataFrame({
+            "query_id": np.concatenate(qids_out),
+            "vec_id": np.concatenate(vids_out),
+            "cosine": np.concatenate(cos_out),
+        })
+
+    return (
+        corp.groupBy(*keys)
+        .cogroup(q.groupBy(*keys))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def auto_n_planes(corpus_count: int, bucket_cap: int = 2_000,
                   lo: int = 4, hi: int = 24) -> int:
     """Plane count targeting E[bucket size] ~= bucket_cap: the number of
@@ -384,23 +509,24 @@ def lsh_topk_shuffle(embeddings: DataFrame, queries: DataFrame, k: int = 10,
         "salt", F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1))
     )
 
-    # kernel: 'native' = JVM fold, bit-exact sequential sum (the DuckDB
-    # oracle twin); 'arrow' = batched BLAS einsum, the throughput kernel
-    # for pair-heavy runs (sum order differs in the last ulp — fine
-    # everywhere except exact cross-engine value checks)
-    if kernel == "arrow":
-        dot_pair = _dot_arrow(F.col("_vec"), F.col("_qvec"))
-    else:
-        dot_pair = dot(F.col("_vec"), F.col("_qvec"))
-    denom = F.col("_n") * F.col("_qn")
-    scored = corp.join(q, ["bucket", "salt"]).select(
-        "query_id", "vec_id",
-        F.when(denom == 0, F.lit(0.0)).otherwise(dot_pair / denom).alias("cosine"),
-    )
+    # Round 6: the bucket equi-join used to materialize EVERY candidate
+    # pair (each row carrying both vectors) and run the dot product as an
+    # interpreted JVM fold per pair ('native') or a per-pair Arrow UDF
+    # ('arrow') — at sf1.0 that is 14M+ pair rows and was 92% of the
+    # query's 161 s. _cogrouped_topk scores each (bucket, salt) block as
+    # one numpy matrix with arithmetic bit-identical to the 'native' fold
+    # and emits only per-group top-k candidates, so both kernel modes now
+    # return byte-identical results through the same grouped path (the
+    # `kernel` parameter is kept for API stability).
     # multi-probe buckets are disjoint (each corpus vector hashes to exactly
     # one bucket), so no (query_id, vec_id) dedup is needed before ranking
+    cand = _cogrouped_topk(
+        corp.select("bucket", "salt", "vec_id", "_vec", "_n"),
+        q.select("bucket", "salt", "query_id", "_qvec", "_qn"),
+        ["bucket", "salt"], k,
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ann_recall_report(embeddings: DataFrame, queries: DataFrame, k: int = 10,
