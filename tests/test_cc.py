@@ -101,3 +101,29 @@ def test_conf_restored_after_cc(spark):
     connected_components(edges).collect()
     assert spark.conf.get(key) == "false"
     spark.conf.set(key, "true")
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(11, 60, 70), (12, 90, 50)])
+def test_driver_fast_path_matches_star_loop(spark, seed, n_nodes, n_edges):
+    """Round 6: graphs under driver_max_edges finish with one driver
+    union-find; labels must be identical to the distributed star loop
+    (driver_max_edges=0 forces it) on the same graph."""
+    rng = random.Random(seed)
+    ids = [f"n{i:04d}" for i in range(n_nodes)]
+    edges = [(rng.choice(ids), rng.choice(ids)) for _ in range(n_edges)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    id_df = spark.createDataFrame([(i,) for i in ids], ["row_id"])
+    fast = {r["row_id"]: r["cluster_id"]
+            for r in connected_components(e, all_ids=id_df).collect()}
+    loop = {r["row_id"]: r["cluster_id"]
+            for r in connected_components(
+                e, all_ids=id_df, driver_max_edges=0).collect()}
+    assert fast == loop == _oracle(edges, ids)
+
+
+def test_driver_fast_path_numeric_ids(spark):
+    """The fast path must keep the src/dst column type for its labels."""
+    e = spark.createDataFrame([(3, 1), (1, 2), (10, 11)], ["src", "dst"])
+    got = {r["row_id"]: r["cluster_id"]
+           for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
