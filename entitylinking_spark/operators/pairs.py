@@ -65,9 +65,14 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
 
     if census is None:
         census = block_census(blocks.select("block_key", "row_id"))
+    # Round 6: materialize the sized block table ONCE — the small and hot
+    # branches both filter it, and unpersisted each branch re-ran the
+    # census join (two extra shuffles of the full block table per call).
+    # The frame is slim (key, id, size [, units/new]); the checkpoint is
+    # one job over data that was about to be shuffled anyway.
     sized = blocks.join(census, "block_key").filter(
         (F.col("block_size") > 1) & (F.col("block_size") <= cfg.skip_block_threshold)
-    )
+    ).localCheckpoint(eager=True)
 
     small = sized.filter(F.col("block_size") <= cfg.block_cap).select(*cols)
     l = small.alias("l")
@@ -85,6 +90,16 @@ def candidate_pairs(blocks: DataFrame, cfg: ERConfig = ERConfig(),
     )
 
     hot = sized.filter(F.col("block_size") > cfg.block_cap)
+    # Hot-branch gate (round 6): with auto-sized blocking most corpora have
+    # NO hot blocks, yet the triangle-salt subtree (explode + 2-key join +
+    # union) still costs ~1.5 s of empty-stage scheduling per call. One
+    # probe of the checkpointed sized table decides; results are identical
+    # either way (the skipped subtree would have produced zero rows).
+    if hot.limit(1).count() == 0:
+        return (
+            small_pairs.groupBy("id_l", "id_r")
+            .agg(F.min("block_key").alias("block_key"))
+        )
     # salt in [0, S); S per-block from the census
     hot = hot.withColumn(
         "n_salt", F.ceil(F.col("block_size") / F.lit(cfg.block_cap)).cast("int")

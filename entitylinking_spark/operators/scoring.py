@@ -86,6 +86,13 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
     )
     p = _attach(pairs, feats, _FEATURES)
 
+    # upper bound on the final score: name component can never exceed 1.0
+    cutoff = cfg.tau - cfg.prescreen_margin
+    lev0 = F.coalesce(F.col("lev_sim"), F.lit(0.0))
+    # eqNullSafe: a plain == returns NULL when either fname is NULL, which
+    # would drop the pair from BOTH branches (ADVICE r2) — the null-safe
+    # split is exhaustive (pruned + equal-name + unequal-name == all pairs).
+    eq_name = F.col("fname_l").eqNullSafe(F.col("fname_r"))
     p = (
         p.withColumn("lev_sim", levenshtein_sim(F.col("fname_l"), F.col("fname_r")))
         .withColumn("exact", F.col("h8_l") == F.col("h8_r"))
@@ -94,36 +101,14 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
             "content_est",
             F.when(F.col("exact"), F.lit(1.0)).otherwise(F.col("minhash_sim")),
         )
-    )
-    # upper bound on the final score: name component can never exceed 1.0
-    cutoff = cfg.tau - cfg.prescreen_margin
-    survives = F.col("exact") | (
-        cfg.w_name * 1.0 + cfg.w_content * F.col("content_est") >= F.lit(cutoff)
-    )
-
-    pruned = p.filter(~survives).select(
-        "id_l", "id_r", "block_key",
-        F.lit(None).cast("double").alias("name_sim"),
-        "lev_sim", "minhash_sim",
-        F.lit(None).cast("double").alias("jaccard_sim"),
-        (cfg.w_name * F.col("lev_sim") + cfg.w_content * F.col("content_est")).alias("score"),
-        F.lit(False).alias("jw_evaluated"),
-    )
-
-    # equal-name fast path: the Arrow JW kernel is the only Python-rate
-    # kernel in the pipeline; identical file names (renames keep stems,
-    # exact-dup reps, template files) resolve to 1.0 JVM-side, so the
-    # Python batch only ever sees genuinely different name pairs.
-    # eqNullSafe: a plain == returns NULL when either fname is NULL, which
-    # would drop the pair from BOTH branches (ADVICE r2) — the null-safe
-    # split is exhaustive (pruned + surv_eq + surv_ne == all pairs).
-    eq_name = F.col("fname_l").eqNullSafe(F.col("fname_r"))
-    surv_eq = p.filter(survives & eq_name).withColumn(
-        "name_sim", F.lit(1.0)
-    ).withColumn("jw_evaluated", F.lit(False))
-    ne = p.filter(survives & ~eq_name)
-    jw_name = F.greatest(
-        jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")), F.col("lev_sim")
+        .withColumn(
+            "_surv",
+            F.col("exact") | (
+                cfg.w_name * 1.0 + cfg.w_content * F.col("content_est")
+                >= F.lit(cutoff)
+            ),
+        )
+        .withColumn("_eq", eq_name)
     )
     if cfg.jw_decision_band:
         # DECISION-BOUNDED JW (round-2 verdict #3): since name_sim ∈
@@ -137,7 +122,6 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
         # final score uses the exact Jaccard instead, so the estimate gets
         # the same ±prescreen_margin (~2.5 sigma) guard as the prescreen.
         delta = cfg.prescreen_margin if cfg.verify_jaccard else 0.0
-        lev0 = F.coalesce(F.col("lev_sim"), F.lit(0.0))
         clear = (
             cfg.w_name * lev0 + cfg.w_content * (F.col("content_est") - delta)
             >= F.lit(cfg.tau)
@@ -145,15 +129,40 @@ def score_pairs(pairs: DataFrame, keyed: DataFrame, cfg: ERConfig = ERConfig(),
             cfg.w_name * 1.0 + cfg.w_content * (F.col("content_est") + delta)
             < F.lit(cfg.tau)
         )
-        surv_ne = ne.filter(~clear).withColumn("name_sim", jw_name).withColumn(
-            "jw_evaluated", F.lit(True))
-        surv_ne_clear = ne.filter(clear).withColumn("name_sim", lev0).withColumn(
-            "jw_evaluated", F.lit(False))
-        surv = surv_eq.unionByName(surv_ne).unionByName(surv_ne_clear)
+        p = p.withColumn("_band", ~F.col("_eq") & ~clear)
     else:
-        surv_ne = ne.withColumn("name_sim", jw_name).withColumn(
-            "jw_evaluated", F.lit(True))
-        surv = surv_eq.unionByName(surv_ne)
+        p = p.withColumn("_band", ~F.col("_eq"))
+    # Round 6 (guide §2.4): the previous 4-way branch union (pruned /
+    # equal-name / JW band / decision-clear) re-derived the two feature
+    # joins per branch and unioned 3-4 subtrees. The featured pair table
+    # is slim (ids + name/sketch features) — materialize it ONCE, run the
+    # Python JW kernel on just the band rows, join the few JW values back,
+    # and express every branch as a when() projection. Same values, same
+    # rows; 2 feature joins instead of 8+ and one small join instead of a
+    # 3-way union of join subtrees.
+    p = p.localCheckpoint(eager=True)
+    jw_name = F.greatest(
+        jaro_winkler_udf(F.col("fname_l"), F.col("fname_r")), F.col("lev_sim")
+    )
+    jw = p.filter(F.col("_surv") & F.col("_band")).select(
+        "id_l", "id_r", jw_name.alias("_jw")
+    )
+    surv = p.filter(F.col("_surv")).join(jw, ["id_l", "id_r"], "left")
+    surv = surv.withColumn(
+        "name_sim",
+        F.when(F.col("_eq"), F.lit(1.0))
+        .when(F.col("_band"), F.col("_jw"))
+        .otherwise(lev0),
+    ).withColumn("jw_evaluated", F.col("_band"))
+
+    pruned = p.filter(~F.col("_surv")).select(
+        "id_l", "id_r", "block_key",
+        F.lit(None).cast("double").alias("name_sim"),
+        "lev_sim", "minhash_sim",
+        F.lit(None).cast("double").alias("jaccard_sim"),
+        (cfg.w_name * F.col("lev_sim") + cfg.w_content * F.col("content_est")).alias("score"),
+        F.lit(False).alias("jw_evaluated"),
+    )
 
     if cfg.verify_jaccard:
         toks_src = content_df if content_df is not None else keyed

@@ -213,8 +213,13 @@ def resolve(
 
     # ---- edges + connected components -----------------------------------
     near_edges = matched_edges(scored, cfg)
+    # No distinct (round 6): the union is distinct BY CONSTRUCTION — pairs
+    # are deduped by candidate_pairs' (id_l,id_r) groupBy and score_pairs
+    # emits each exactly once; exact edges are one (rep -> row) per row_id;
+    # the two sets cannot overlap (non-reps never enter candidate pairs).
+    # Dropping the insurance shuffle saves a full pass over the edge set.
     edges = store.get_or_compute(
-        "edges", lambda: near_edges.unionByName(exact_edges).distinct(),
+        "edges", lambda: near_edges.unionByName(exact_edges),
         fingerprint=fp,
     )
 
