@@ -87,7 +87,7 @@ def hyperplane_bucket(vec_col: Column, n_planes: int = 8) -> Column:
     def bucket(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = _stack_vecs(vecs.to_numpy()).astype(np.float64, copy=False)
         proj = mat @ planes[:, : mat.shape[1]].T
         bits = (proj > 0).astype(np.int32)
         out = np.zeros(len(vecs), dtype=np.int32)
@@ -163,7 +163,7 @@ def make_srp_bucket_udf(planes: list[list[int]]):
     def bucket(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = _stack_vecs(vecs.to_numpy()).astype(np.float64, copy=False)
         q = np.floor(mat * float(_SRP_QUANT)).astype(np.int64)
         dots = q @ arr[:, : mat.shape[1]].T  # (N, P) exact int64
         out = np.zeros(len(vecs), dtype=np.int64)
@@ -222,8 +222,8 @@ def _dot_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
     are interpreted per element, measured ~4x slower at ~1M pairs."""
     if len(a) == 0:
         return pd.Series([], dtype="float64")
-    ma = np.array(a.tolist(), dtype=np.float64)
-    mb = np.array(b.tolist(), dtype=np.float64)
+    ma = _stack_vecs(a.to_numpy()).astype(np.float64, copy=False)
+    mb = _stack_vecs(b.to_numpy()).astype(np.float64, copy=False)
     return pd.Series(np.einsum("ij,ij->i", ma, mb))
 
 
