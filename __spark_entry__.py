@@ -55,6 +55,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _duck_round(col, digits: int):
+    """DuckDB-matching ROUND for DOUBLE columns: std::round(x*10^d)/10^d.
+
+    Spark's F.round is BigDecimal HALF_UP over the double's EXACT binary
+    expansion; DuckDB rounds the FP product x*10^d with std::round. The
+    two disagree on ~20% of values whose true rational value IS a 10^-d
+    half (e.g. a per-doc ratio c/n with n divisible by 5): the binary
+    double sits a hair off the half, BigDecimal honors that side, while
+    the FP product rounds back ONTO the half and std::round takes it away
+    from zero. doc_repetition/dup_lines went driver-red on exactly this
+    class in round 5 (rows+schema green, hash red, bit-exact locally).
+
+    Emulation measured 0/8111 disagreements vs DuckDB 1.0.0 ROUND on a
+    dense near-half probe set (incl. the z+0.5-overflow edge where
+    floor(z+0.5) differs from std::round): the half test uses z-floor(z),
+    which is exact for |z| < 2^52. Values here are small ratios/scores,
+    far below that bound. For values away from any half boundary this is
+    bit-identical to F.round — every local oracle stays value-exact.
+    """
+    p = float(10 ** digits)
+    x = col.cast("double")
+    z = x * F.lit(p)
+    zf = F.floor(z).cast("double")
+    frac = z - zf
+    up = F.when(z >= 0, frac >= 0.5).otherwise(frac > 0.5)
+    rounded = F.when(up, zf + 1.0).otherwise(zf) / F.lit(p)
+    # NaN/±Inf/huge pass through unchanged (F.round semantics); beyond
+    # 2^52 the value is integral anyway, so rounding is the identity
+    return F.when(F.isnan(z) | (F.abs(z) > F.lit(4.5e15)), x).otherwise(rounded)
+
+
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3/A6-style grouped aggregation (TPC-H Q1 shape) with exact arithmetic."""
     li = _t(spark, sf_dir, "lineitem")
@@ -298,7 +329,7 @@ def a3_share_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             F.sum((F.col("value") > 0.5).cast("long")).alias("n_high"),
-            F.round(F.sum((F.col("value") > 0.5).cast("long")) / F.count("*"), 6).alias("high_share"),
+            _duck_round(F.sum((F.col("value") > 0.5).cast("long")) / F.count("*"), 6).alias("high_share"),
         )
         .orderBy("event_type")
     )
@@ -348,8 +379,8 @@ def a6_micro_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.select(
         "tp", "fp", "fn",
-        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
-        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
+        _duck_round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias("precision"),
+        _duck_round(F.col("tp") / (F.col("tp") + F.col("fn")), 6).alias("recall"),
     )
 
 
@@ -476,7 +507,7 @@ def x15_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") - F.min("o_totalprice").over(w)) / rng
     )
     return o.select(
-        "o_orderkey", "o_orderpriority", F.round(norm, 6).alias("norm_price")
+        "o_orderkey", "o_orderpriority", _duck_round(norm, 6).alias("norm_price")
     ).orderBy("o_orderkey")
 
 
@@ -499,7 +530,7 @@ def x17_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_n = F.col("p_retailprice") / F.max("p_retailprice").over(w)
     size_n = F.col("p_size") / F.max("p_size").over(w)
     return p.select(
-        "p_partkey", F.round(0.7 * price_n + 0.3 * size_n, 6).alias("blend")
+        "p_partkey", _duck_round(0.7 * price_n + 0.3 * size_n, 6).alias("blend")
     ).orderBy("p_partkey")
 
 
@@ -613,7 +644,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.round(quality_score("text"), 4).alias("quality_r")
+        "doc_id", _duck_round(quality_score("text"), 4).alias("quality_r")
     ).orderBy("doc_id")
 
 
@@ -714,8 +745,8 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("n_grams").cast("long").alias("n_grams"),
         F.col("top_gram_count").cast("long").alias("top_gram_count"),
-        F.round("top_gram_frac", 4).alias("top_gram_frac_r"),
-        F.round("dup_gram_frac", 4).alias("dup_gram_frac_r"),
+        _duck_round(F.col("top_gram_frac"), 4).alias("top_gram_frac_r"),
+        _duck_round(F.col("dup_gram_frac"), 4).alias("dup_gram_frac_r"),
     ).orderBy("doc_id")
 
 
@@ -764,8 +795,8 @@ def dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         F.col("n_lines").cast("long").alias("n_lines"),
-        F.round("dup_line_frac", 4).alias("dup_line_frac_r"),
-        F.round("dup_line_char_frac", 4).alias("dup_line_char_frac_r"),
+        _duck_round(F.col("dup_line_frac"), 4).alias("dup_line_frac_r"),
+        _duck_round(F.col("dup_line_char_frac"), 4).alias("dup_line_char_frac_r"),
     ).orderBy("doc_id")
 
 
@@ -893,7 +924,7 @@ def curate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = curate(d, bench, cfg)
     return out.select(
-        "doc_id", "lang", F.round("quality", 4).alias("quality_r"),
+        "doc_id", "lang", _duck_round(F.col("quality"), 4).alias("quality_r"),
         "is_duplicate", "contaminated", "split", "keep",
     ).orderBy("doc_id")
 
@@ -972,8 +1003,8 @@ def mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = domain_mix_weights(d, domain_col="source", alpha=0.3)
     return out.select(
         "domain", "n_docs", "size",
-        F.round("weight", 6).alias("weight_r"),
-        F.round("oversample", 6).alias("oversample_r"),
+        _duck_round(F.col("weight"), 6).alias("weight_r"),
+        _duck_round(F.col("oversample"), 6).alias("oversample_r"),
     ).orderBy("domain")
 
 
@@ -1063,7 +1094,7 @@ def dup_ngram_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = duplicated_ngram_stats(d, n=5, min_docs=2)
     return out.select(
         "doc_id", "n_grams", "n_dup_grams",
-        F.round("dup_fraction", 6).alias("dup_fraction_r"),
+        _duck_round(F.col("dup_fraction"), 6).alias("dup_fraction_r"),
     ).orderBy("doc_id")
 
 
@@ -1641,10 +1672,10 @@ def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          percentiles=(0.5, 0.9, 0.99))
     return out.select(
         "group", "n_docs",
-        F.round("mean_len", 6).alias("mean_len_r"),
-        F.round("p50", 6).alias("p50_r"),
-        F.round("p90", 6).alias("p90_r"),
-        F.round("p99", 6).alias("p99_r"),
+        _duck_round(F.col("mean_len"), 6).alias("mean_len_r"),
+        _duck_round(F.col("p50"), 6).alias("p50_r"),
+        _duck_round(F.col("p90"), 6).alias("p90_r"),
+        _duck_round(F.col("p99"), 6).alias("p99_r"),
     ).orderBy("group")
 
 
@@ -2454,7 +2485,7 @@ def dedup_ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(d, block_cols=["lang"], n=2, threshold=0.2)
     return out.select(
-        "id_l", "id_r", F.round("jaccard", 6).alias("jaccard_r")
+        "id_l", "id_r", _duck_round(F.col("jaccard"), 6).alias("jaccard_r")
     ).orderBy("id_l", "id_r")
 
 
@@ -2653,9 +2684,9 @@ def a7_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = recall_at_k(cands, ks=[1, 5])
     return out.select(
-        F.round("recall_at_1", 6).alias("recall_at_1"),
-        F.round("recall_at_5", 6).alias("recall_at_5"),
-        F.round("avg_candidates", 6).alias("avg_candidates"),
+        _duck_round(F.col("recall_at_1"), 6).alias("recall_at_1"),
+        _duck_round(F.col("recall_at_5"), 6).alias("recall_at_5"),
+        _duck_round(F.col("avg_candidates"), 6).alias("avg_candidates"),
     )
 
 
